@@ -1,0 +1,166 @@
+"""Benchmark: ELBO training steps/s + flow samples/s on the flagship workload.
+
+Workload = the reference's headline demo config (RealNVP on the hard
+Banana(2, b=1, var=100): 3 layers, conditioner hdims [16,16], Adam(5e-4),
+`elbo_batch` — `example/demo_RealNVP.jl:20-61` / BASELINE.md).
+
+Timing methodology: on a tunneled TPU backend, dispatch/fetch round trips
+are large and `block_until_ready` can return before remote execution
+completes, so each measurement (a) syncs by fetching a scalar RESULT to the
+host, and (b) uses a two-size slope — time(2N steps) − time(N steps) — so
+the fixed round-trip overhead cancels and only true per-step device time
+remains.
+
+The reference publishes no numbers and Julia is not present in this image
+(BASELINE.md: baselines are self-measured), so ``vs_baseline`` reports the
+speedup of the accelerator run over a self-measured single-host CPU run of
+the IDENTICAL jitted program — a conservative stand-in for the reference's
+single-threaded CPU execution model. Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import normalizingflows as nf
+from normalizingflows.jl_tpu.utils.pytree import (
+    apply_mask,
+    global_norm,
+    trainable_mask,
+)
+
+# Reference demo config (demo_RealNVP.jl:20-61)
+DIM = 2
+HDIMS = (16, 16)
+NLAYERS = 3
+BATCH = 16           # reference: 16 samples/iter
+SAMPLE_BATCH = 262144  # TPU-saturating batch for samples/s
+LR = 5e-4
+
+
+def build():
+    # jit-construct so init math runs on-device (one transfer, not per-leaf)
+    flow = jax.jit(
+        lambda k: nf.realnvp(k, DIM, HDIMS, nlayers=NLAYERS)
+    )(jax.random.key(0))
+    target = nf.Banana(DIM, 1.0, 100.0)
+    return flow, target
+
+
+def make_train_chunk(flow, target, n_samples):
+    optimizer = optax.adam(LR)
+    mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+
+    def train_step(carry, key):
+        f, st = carry
+        def loss(f):
+            return -nf.elbo_batch(key, f, target.log_prob, n_samples)
+        loss_val, grads = jax.value_and_grad(loss)(f)
+        grads = apply_mask(grads, mask)
+        updates, st = optimizer.update(grads, st, f)
+        f = optax.apply_updates(f, updates)
+        return (f, st), loss_val
+
+    @jax.jit
+    def run(flow, opt_state, keys):
+        (flow, opt_state), losses = jax.lax.scan(
+            train_step, (flow, opt_state), keys
+        )
+        return flow, opt_state, losses
+
+    return run, optimizer
+
+
+def _timed_train(run, flow, opt_state, n_steps, reps=3):
+    """Wall time of an n_steps training scan, synced by fetching the final
+    loss value to the host. Returns (best_seconds, final_loss)."""
+    keys = jax.random.split(jax.random.key(1), n_steps)
+    fl = 0.0
+    best = float("inf")
+    # first call compiles; time the subsequent ones
+    for i in range(reps + 1):
+        t0 = time.perf_counter()
+        _, _, losses = run(flow, opt_state, keys)
+        fl = float(losses[-1])  # host fetch = true sync
+        if i > 0:
+            best = min(best, time.perf_counter() - t0)
+    return best, fl
+
+
+def measure_steps_per_s(device, n=4000):
+    with jax.default_device(device):
+        flow, target = build()
+        run, optimizer = make_train_chunk(flow, target, BATCH)
+        opt_state = optimizer.init(flow)
+        t1, fl = _timed_train(run, flow, opt_state, n)
+        t2, _ = _timed_train(run, flow, opt_state, 2 * n)
+    per_step = max((t2 - t1) / n, 1e-12)  # slope: overhead cancels
+    return 1.0 / per_step, fl
+
+
+def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=4):
+    with jax.default_device(device):
+        flow, _ = build()
+
+        @jax.jit
+        def draw_many(flow, key, m):
+            # m sequential batches of n samples in one device program;
+            # checksum forces materialization of every batch
+            def body(c, k):
+                s = flow.sample(k, (n,))
+                return c + s[0, 0] + s[-1, -1], None
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros(()), jax.random.split(key, m)
+            )
+            return acc
+
+        def timed(m):
+            best = float("inf")
+            for i in range(reps + 1):
+                t0 = time.perf_counter()
+                v = float(draw_many(flow, jax.random.key(7), m))
+                if i > 0:
+                    best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = timed(4)
+        t2 = timed(8)
+    per_batch = max((t2 - t1) / 4, 1e-12)
+    return n / per_batch
+
+
+def main():
+    accel = jax.devices()[0]
+    steps_per_s, final_loss = measure_steps_per_s(accel)
+    samples_per_s = measure_samples_per_s(accel)
+
+    try:
+        cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else None
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        cpu_steps_per_s, _ = measure_steps_per_s(cpu, n=1000)
+        vs_baseline = steps_per_s / cpu_steps_per_s
+    else:
+        vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": "elbo_steps_per_s_realnvp_banana",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "samples_per_s": round(samples_per_s, 1),
+        "final_loss_4000_steps": round(final_loss, 4),
+        "batch_per_step": BATCH,
+        "device": str(accel),
+        "baseline_def": "same jitted program on 1 host CPU core (reference "
+                        "is CPU-only Julia with no published numbers; "
+                        "see BASELINE.md)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""MLP conditioner networks.
+
+Replaces the reference's Flux.jl usage (`src/flows/utils.jl:28-100`):
+`mlp3` (3-layer Dense chain with leakyrelu, `:33-46`) and `fnn` (arbitrary
+hidden dims, optional output activation, `:71-100`). Initialization matches
+Flux defaults: Glorot-uniform weights, zero bias. Parameters are pytree
+leaves; the dtype knob plays the role of Flux's `_paramtype` Float32/64 cast.
+
+Weights are stored (in_dim, out_dim) and applied as ``x @ W + b`` on
+``(..., in_dim)`` batches — batched matmuls that map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import Module, module, static_field
+
+__all__ = ["Dense", "MLP", "fnn", "mlp3", "leaky_relu"]
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    """Flux's `leakyrelu` default (slope 0.01)."""
+    return jax.nn.leaky_relu(x, negative_slope=0.01)
+
+
+def _glorot_uniform(key, in_dim, out_dim, dtype):
+    limit = jnp.sqrt(jnp.asarray(6.0 / (in_dim + out_dim), dtype=dtype))
+    return jax.random.uniform(
+        key, (in_dim, out_dim), dtype=dtype, minval=-limit, maxval=limit
+    )
+
+
+@module
+class Dense(Module):
+    """One affine layer with activation: act(x @ W + b)."""
+
+    W: jax.Array
+    b: jax.Array
+    activation: Callable | None = static_field(default=None)
+
+    @staticmethod
+    def make(key, in_dim, out_dim, activation=None, dtype=jnp.float32):
+        W = _glorot_uniform(key, in_dim, out_dim, dtype)
+        b = jnp.zeros((out_dim,), dtype=dtype)
+        return Dense(W, b, activation)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x @ self.W + self.b
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+@module
+class MLP(Module):
+    """Chain of Dense layers (Flux.Chain equivalent)."""
+
+    layers: tuple[Dense, ...]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+    @property
+    def in_dim(self) -> int:
+        return self.layers[0].W.shape[0]
+
+    @property
+    def out_dim(self) -> int:
+        return self.layers[-1].W.shape[1]
+
+
+def fnn(
+    key: jax.Array,
+    input_dim: int,
+    hidden_dims: Sequence[int],
+    output_dim: int,
+    inlayer_activation: Callable = leaky_relu,
+    output_activation: Callable | None = None,
+    dtype=jnp.float32,
+) -> MLP:
+    """Fully-connected network, reference `fnn` (`src/flows/utils.jl:71-100`):
+    hidden layers with ``inlayer_activation``, optional output activation
+    (e.g. tanh for the RealNVP log-scale head, `src/flows/realnvp.jl:50`)."""
+    dims = [input_dim, *hidden_dims, output_dim]
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i, (k, din, dout) in enumerate(zip(keys, dims[:-1], dims[1:])):
+        last = i == len(dims) - 2
+        act = output_activation if last else inlayer_activation
+        layers.append(Dense.make(k, din, dout, act, dtype))
+    return MLP(tuple(layers))
+
+
+def mlp3(
+    key: jax.Array,
+    input_dim: int,
+    hidden_dim: int,
+    output_dim: int,
+    activation: Callable = leaky_relu,
+    dtype=jnp.float32,
+) -> MLP:
+    """3-layer MLP, reference `mlp3` (`src/flows/utils.jl:33-46`):
+    in→h (act), h→h (act), h→out (linear)."""
+    return fnn(
+        key, input_dim, [hidden_dim, hidden_dim], output_dim,
+        inlayer_activation=activation, dtype=dtype,
+    )

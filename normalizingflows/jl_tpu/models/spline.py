@@ -1,0 +1,143 @@
+"""Neural spline flow (rational-quadratic coupling).
+
+Re-design of reference `src/flows/neuralspline.jl`:
+  * `NeuralSplineCoupling` (`neuralspline.jl:35-144`): the conditioner net
+    maps x_B to (3K−1)·|A| raw spline parameters (`:55-57`); these are
+    normalized into monotone knot tables and the transformed dims pass
+    through the elementwise RQS (`ops/rqs.py`). log|det J| is the sum of
+    elementwise spline log-derivatives over the transformed dims.
+  * `NSF_layer` (`neuralspline.jl:169-184`): two couplings with
+    complementary alternating masks.
+  * `nsf` (`neuralspline.jl:218-234`): defaults hdims=[32,32], K=10, B=30,
+    nlayers=10.
+
+Unlike the reference — where NSF is Zygote-only because of the
+KernelAbstractions kernels (`neuralspline.jl:207-212`) — both forward and
+inverse here are fully differentiable under `jax.grad`, including through
+the closed-form inverse.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rqs
+from ..ops import rqs_pallas
+from ..ops.masks import PartitionMask
+from ..utils.pytree import module, static_field
+from .bijector import Bijector, Chain, stack_bijectors
+from .distributions import DiagNormal, Distribution, TransformedDistribution
+from .flows import create_flow
+from .nets import MLP, fnn
+
+__all__ = ["NeuralSplineCoupling", "NSF_layer", "nsf"]
+
+
+@module
+class NeuralSplineCoupling(Bijector):
+    """RQS coupling layer (Durkan et al. 2019)."""
+
+    __trainable__ = ("nn",)  # mirrors `@functor NeuralSplineCoupling (nn,)`,
+    # reference `src/flows/neuralspline.jl:63`
+
+    nn: MLP
+    K: int = static_field()          # number of spline bins
+    B: float = static_field()        # box half-width: spline acts on [−B, B]
+    mask: PartitionMask = static_field()
+    # 'auto' → fused Pallas kernel on TPU, jnp oracle elsewhere;
+    # 'oracle' / 'pallas' force a path (tests pin them against each other)
+    backend: str = static_field(default="auto")
+
+    @staticmethod
+    def make(
+        key: jax.Array,
+        dim: int,
+        hdims: Sequence[int],
+        K: int,
+        B: float,
+        mask_idx: Sequence[int],
+        dtype=jnp.float32,
+        backend: str = "auto",
+    ) -> "NeuralSplineCoupling":
+        mask = PartitionMask.make(dim, mask_idx)
+        n_t = mask.n_transformed
+        nn = fnn(key, dim - n_t, hdims, (3 * K - 1) * n_t, dtype=dtype)
+        return NeuralSplineCoupling(nn, K, float(B), mask, backend)
+
+    def _use_pallas(self) -> bool:
+        if self.backend == "auto":
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
+
+    def _raw(self, x_b: jax.Array):
+        """Conditioner output reshaped to (..., n_transformed, 3K−1)."""
+        raw = self.nn(x_b)
+        n_t = self.mask.n_transformed
+        return raw.reshape(raw.shape[:-1] + (n_t, 3 * self.K - 1))
+
+    def _transform(self, v: jax.Array, cond: jax.Array, inverse: bool):
+        raw = self._raw(cond)
+        if self._use_pallas():
+            return rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse)
+        xs, ys, ds = rqs.rqs_params_from_raw(raw, self.B)
+        fn = rqs.rqs_inverse if inverse else rqs.rqs_forward
+        return fn(v, xs, ys, ds)
+
+    def forward_and_log_det(self, x):
+        x_a, x_b, x_c = self.mask.partition(x)
+        y_a, ld = self._transform(x_a, x_b, inverse=False)
+        return self.mask.combine(y_a, x_b, x_c), jnp.sum(ld, axis=-1)
+
+    def inverse_and_log_det(self, y):
+        y_a, y_b, y_c = self.mask.partition(y)
+        x_a, ld = self._transform(y_a, y_b, inverse=True)
+        return self.mask.combine(x_a, y_b, y_c), jnp.sum(ld, axis=-1)
+
+
+def NSF_layer(
+    key: jax.Array,
+    dim: int,
+    hdims: Sequence[int],
+    K: int,
+    B: float,
+    dtype=jnp.float32,
+    backend: str = "auto",
+) -> list[NeuralSplineCoupling]:
+    """One NSF block: two spline couplings with complementary masks
+    (reference `neuralspline.jl:169-184`)."""
+    k1, k2 = jax.random.split(key)
+    c1 = NeuralSplineCoupling.make(k1, dim, hdims, K, B, range(0, dim, 2),
+                                   dtype, backend)
+    c2 = NeuralSplineCoupling.make(k2, dim, hdims, K, B, range(1, dim, 2),
+                                   dtype, backend)
+    return [c1, c2]
+
+
+def nsf(
+    key: jax.Array,
+    q0: Distribution | int,
+    hdims: Sequence[int] = (32, 32),
+    K: int = 10,
+    B: float = 30.0,
+    nlayers: int = 10,
+    dtype=jnp.float32,
+    backend: str = "auto",
+    scan: bool = True,
+) -> TransformedDistribution:
+    """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
+
+    ``scan=True`` stacks the blocks into a `Repeated` lax.scan — one Pallas
+    kernel call site regardless of depth (depth-independent compile)."""
+    if isinstance(q0, int):
+        q0 = DiagNormal.standard(q0, dtype)
+    dim = q0.event_dim
+    blocks = [
+        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend))
+        for k in jax.random.split(key, nlayers)
+    ]
+    if scan and nlayers > 1:
+        return create_flow([stack_bijectors(blocks)], q0)
+    return create_flow(blocks, q0)

@@ -1,0 +1,61 @@
+"""Batched scalar root-finding for bijector inverses without closed form.
+
+The reference's planar/radial inverses go through Bijectors.jl's adaptive
+root-finder (exercised by `test/flow.jl:158-172, 224-238`). Adaptive
+iteration counts are hostile to XLA (dynamic control flow), so here the
+solve is a FIXED-iteration bisection bracket followed by Newton polish —
+fully vectorized over the batch on the VPU, jit/vmap/grad-safe.
+
+`f` must be elementwise monotone increasing on the bracket [lo, hi] with
+f(lo) <= 0 <= f(hi).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["solve_monotone"]
+
+
+def solve_monotone(
+    f: Callable[[jax.Array], jax.Array],
+    lo: jax.Array,
+    hi: jax.Array,
+    bisect_iters: int = 40,
+    newton_iters: int = 3,
+) -> jax.Array:
+    """Root of elementwise-increasing ``f`` on [lo, hi].
+
+    40 bisection halvings shrink the bracket by 2⁻⁴⁰ ≈ 1e-12 relative,
+    then a few Newton steps (derivative via forward-mode JVP) polish to
+    machine precision — comfortably beating the reference tests' rtol 1e-4
+    round-trip requirement in float32 and 1e-12 in float64.
+    """
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        fm = f(mid)
+        take_upper = fm < 0
+        lo = jnp.where(take_upper, mid, lo)
+        hi = jnp.where(take_upper, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo, hi))
+    x = 0.5 * (lo + hi)
+
+    def newton_body(_, x):
+        fx, dfx = jax.jvp(f, (x,), (jnp.ones_like(x),))
+        step = fx / jnp.where(dfx > 0, dfx, jnp.ones_like(dfx))
+        x_new = x - step
+        # keep the iterate inside the bracket; fall back to x if not finite
+        x_new = jnp.clip(x_new, lo, hi)
+        return jnp.where(jnp.isfinite(x_new), x_new, x)
+
+    x = jax.lax.fori_loop(0, newton_iters, newton_body, x)
+    return x

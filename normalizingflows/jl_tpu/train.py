@@ -1,0 +1,194 @@
+"""Training API: the TPU-native `train_flow` / `optimize` pair.
+
+Reference: `src/NormalizingFlows.jl:51-86` (train_flow) driving
+`src/optimize.jl:57-108` (generic SGD loop). Key re-design decisions:
+
+  * No parameter flattening. The reference destructures the flow into a flat
+    vector (`src/NormalizingFlows.jl:67`) and notes this blows up compile
+    times for deep flows (`:65-66`). Here the flow pytree itself is the
+    optimization variable; optax operates leaf-wise.
+  * The whole per-iteration body (sample → transform → logdet → target logp
+    → grad → Adam update) is ONE jitted `train_step`; iterations are run in
+    `lax.scan` chunks so the hot loop never leaves the device. Host work
+    (progress display, callbacks, convergence predicate) happens at chunk
+    boundaries on fetched stats — the TPU mapping described in SURVEY §3.1.
+  * The AD-backend axis of the reference (`src/optimize.jl:8-14`, 5 backends
+    via DifferentiationInterface) collapses to `jax.value_and_grad`; the
+    "prepare" step maps to jit compilation caching.
+  * Base-distribution freezing: the reference marks `@leaf MvNormal` in every
+    demo (`test/interface.jl:21`); here `train_base=False` (default) freezes
+    `flow.base` via a trainable mask.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.distributions import TransformedDistribution
+from .utils.pytree import apply_mask, global_norm, trainable_mask
+
+__all__ = ["train_flow", "optimize", "TrainResult", "TrainState"]
+
+
+class TrainState(NamedTuple):
+    """Opaque resumable state (the reference returns opt-state `st` "for
+    potential continuation of training", `src/optimize.jl:106-107`)."""
+
+    flow: TransformedDistribution
+    opt_state: Any
+    iteration: int
+
+
+class TrainResult(NamedTuple):
+    flow: TransformedDistribution
+    stats: dict  # {"iteration", "loss", "gradient_norm", ...} 1-D arrays
+    state: TrainState
+
+
+def _default_optimizer() -> optax.GradientTransformation:
+    # Reference default: Optimisers.ADAM() == Adam(lr=1e-3)
+    # (`src/NormalizingFlows.jl:60`).
+    return optax.adam(1e-3)
+
+
+def train_flow(
+    key: jax.Array,
+    objective: Callable[..., jax.Array],
+    flow: TransformedDistribution,
+    *args: Any,
+    max_iters: int = 1000,
+    optimizer: optax.GradientTransformation | None = None,
+    train_base: bool = False,
+    callback: Callable[[int, dict, TransformedDistribution], dict | None]
+    | None = None,
+    hasconverged: Callable[[int, dict, TransformedDistribution, Any], bool]
+    | None = None,
+    show_progress: bool = False,
+    check_every: int = 100,
+    resume_state: TrainState | None = None,
+) -> TrainResult:
+    """Train a flow by maximizing ``objective(key, flow, *args)``.
+
+    Mirrors `train_flow(rng, vo, flow, args...; ...)` at
+    `src/NormalizingFlows.jl:54-86`: the loss is the negated objective,
+    per-iteration stats are ``(iteration, loss, gradient_norm)``
+    (`src/optimize.jl:89`), ``callback(i, stats, flow)`` may return a dict
+    merged into the stats (`src/optimize.jl:92-95`), and
+    ``hasconverged(i, stats, flow, opt_state)`` early-stops the loop
+    (`src/optimize.jl:103`). Callback/convergence checks run every
+    ``check_every`` iterations (chunk boundary) rather than every iteration
+    — the price of keeping the hot loop on-device.
+    """
+    optimizer = optimizer or _default_optimizer()
+
+    frozen_pred = None if train_base else (lambda m: m is flow.base)
+    mask = trainable_mask(flow, frozen=frozen_pred)
+
+    if resume_state is not None:
+        flow = resume_state.flow
+        opt_state = resume_state.opt_state
+        start_iter = resume_state.iteration
+    else:
+        opt_state = optimizer.init(flow)
+        start_iter = 0
+
+    def loss_fn(f, k):
+        return -objective(k, f, *args)
+
+    def train_step(carry, it_key):
+        f, st = carry
+        loss_val, grads = jax.value_and_grad(loss_fn)(f, it_key)
+        grads = apply_mask(grads, mask)
+        gnorm = global_norm(grads)
+        updates, st = optimizer.update(grads, st, f)
+        f = optax.apply_updates(f, updates)
+        return (f, st), (loss_val, gnorm)
+
+    @jax.jit
+    def run_chunk(f, st, keys):
+        (f, st), (losses, gnorms) = jax.lax.scan(
+            train_step, (f, st), keys
+        )
+        return f, st, losses, gnorms
+
+    all_loss: list[np.ndarray] = []
+    all_gnorm: list[np.ndarray] = []
+    extra: dict[str, list] = {}
+    it = start_iter
+    converged = False
+    t0 = time.perf_counter()
+
+    while it < start_iter + max_iters and not converged:
+        chunk = min(check_every, start_iter + max_iters - it)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, chunk)
+        flow, opt_state, losses, gnorms = run_chunk(flow, opt_state, keys)
+        losses = np.asarray(losses)
+        gnorms = np.asarray(gnorms)
+        all_loss.append(losses)
+        all_gnorm.append(gnorms)
+        it += chunk
+
+        stat = {
+            "iteration": it,
+            "loss": float(losses[-1]),
+            "gradient_norm": float(gnorms[-1]),
+        }
+        if callback is not None:
+            merged = callback(it, stat, flow)
+            if merged:
+                stat.update(merged)
+                for k, v in merged.items():
+                    extra.setdefault(k, []).append(v)
+        if hasconverged is not None:
+            converged = bool(hasconverged(it, stat, flow, opt_state))
+        if show_progress:
+            rate = it / max(time.perf_counter() - t0, 1e-9)
+            print(
+                f"[train_flow] iter {it:>7d}  loss {stat['loss']:+.6f}  "
+                f"|g| {stat['gradient_norm']:.3e}  ({rate:.1f} it/s)",
+                flush=True,
+            )
+
+    loss_arr = np.concatenate(all_loss) if all_loss else np.zeros((0,))
+    gnorm_arr = np.concatenate(all_gnorm) if all_gnorm else np.zeros((0,))
+    stats = {
+        "iteration": np.arange(start_iter + 1, start_iter + 1 + len(loss_arr)),
+        "loss": loss_arr,
+        "gradient_norm": gnorm_arr,
+    }
+    for k, v in extra.items():
+        stats[k] = np.asarray(v)
+    return TrainResult(
+        flow, stats, TrainState(flow, opt_state, it)
+    )
+
+
+def optimize(
+    key: jax.Array,
+    loss: Callable[..., jax.Array],
+    params: Any,
+    *args: Any,
+    max_iters: int = 10_000,
+    optimizer: optax.GradientTransformation | None = None,
+    **kwargs: Any,
+) -> TrainResult:
+    """Generic minimization of ``loss(key, params, *args)`` over a pytree —
+    the standalone analogue of `optimize` at `src/optimize.jl:57-108`
+    (which `train_flow` wraps). Accepts the same kwargs as `train_flow`."""
+    return train_flow(
+        key,
+        lambda k, p, *a: -loss(k, p, *a),
+        params,
+        *args,
+        max_iters=max_iters,
+        optimizer=optimizer,
+        train_base=True,
+        **kwargs,
+    )

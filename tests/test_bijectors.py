@@ -1,0 +1,90 @@
+"""Bijector protocol and combinator tests."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import normalizingflows as nf
+
+
+def test_identity(key):
+    x = jax.random.normal(key, (7, 3))
+    y, ld = nf.Identity().forward_and_log_det(x)
+    assert jnp.allclose(y, x)
+    assert ld.shape == (7,)
+    assert jnp.allclose(ld, 0.0)
+
+
+def test_shift_scale_roundtrip(key, dtype):
+    x = jax.random.normal(key, (7, 3), dtype)
+    b = nf.chain(
+        nf.Scale(jnp.asarray([2.0, -3.0, 0.5], dtype)),
+        nf.Shift(jnp.asarray([1.0, 0.0, -1.0], dtype)),
+    )
+    y, ld = b.forward_and_log_det(x)
+    x2, ld2 = b.inverse_and_log_det(y)
+    assert jnp.allclose(x, x2, atol=1e-5)
+    assert jnp.allclose(ld, -ld2, atol=1e-5)
+    # Scale logdet = sum log|a|, sign-safe
+    expected = jnp.log(2.0) + jnp.log(3.0) + jnp.log(0.5)
+    assert jnp.allclose(ld, expected, atol=1e-4)
+
+
+def test_chain_order(key):
+    """Chain applies first-to-last (fixing the reference's reduce(∘) gotcha,
+    src/flows/utils.jl:10-12)."""
+    x = jnp.ones((2,))
+    b = nf.chain(nf.Shift(jnp.ones(2)), nf.Scale(2.0 * jnp.ones(2)))
+    # shift first, then scale: (1+1)*2 = 4
+    assert jnp.allclose(b.forward(x), 4.0)
+
+
+def test_inverse_wrapper(key):
+    s = nf.Scale(jnp.asarray([2.0, 4.0]))
+    inv = nf.invert(s)
+    x = jnp.asarray([[2.0, 4.0]])
+    assert jnp.allclose(inv.forward(x), 1.0)
+    assert nf.invert(inv) is s  # double inversion collapses
+    y, ld = inv.forward_and_log_det(x)
+    yf, ldf = s.forward_and_log_det(inv.forward(x))
+    assert jnp.allclose(ld, -ldf)
+
+
+def test_stacked(key):
+    b = nf.Stacked(
+        (nf.Scale(jnp.asarray([2.0])), nf.Shift(jnp.asarray([5.0, 5.0]))),
+        [(0, 1), (1, 3)],
+    )
+    x = jnp.asarray([[1.0, 1.0, 1.0], [2.0, 2.0, 2.0]])
+    y, ld = b.forward_and_log_det(x)
+    assert jnp.allclose(y[0], jnp.asarray([2.0, 6.0, 6.0]))
+    assert jnp.allclose(ld, jnp.log(2.0))
+    x2, ld2 = b.inverse_and_log_det(y)
+    assert jnp.allclose(x, x2)
+    assert jnp.allclose(ld, -ld2)
+
+
+def test_batch_shape_polymorphism(key):
+    """Vector, matrix and higher-rank batches flow through the same code."""
+    flow = nf.realnvp(key, 4, (8, 8), nlayers=1)
+    b = flow.bijector
+    x1 = jax.random.normal(key, (4,))
+    x2 = jnp.broadcast_to(x1, (5, 4))
+    y1, ld1 = b.forward_and_log_det(x1)
+    y2, ld2 = b.forward_and_log_det(x2)
+    assert y1.shape == (4,) and ld1.shape == ()
+    assert y2.shape == (5, 4) and ld2.shape == (5,)
+    assert jnp.allclose(y2[0], y1, atol=1e-6)
+    assert jnp.allclose(ld2, ld1, atol=1e-6)
+
+
+def test_partition_mask():
+    from normalizingflows.jl_tpu.ops.masks import PartitionMask
+
+    m = PartitionMask.alternating(5, 0)
+    assert m.idx_a == (0, 2, 4)
+    assert m.idx_b == (1, 3)
+    x = jnp.arange(10.0).reshape(2, 5)
+    xa, xb, xc = m.partition(x)
+    assert xa.shape == (2, 3) and xb.shape == (2, 2) and xc.shape == (2, 0)
+    assert jnp.allclose(m.combine(xa, xb, xc), x)

@@ -1,0 +1,90 @@
+"""Pallas RQS kernel vs pure-jnp oracle (interpret mode on CPU).
+
+SURVEY §4: "kernel-vs-reference numerics tests (Pallas kernel vs pure-jnp
+oracle)". Values AND gradients must agree to float32 tolerance; the compiled
+TPU path reuses the exact same kernel body.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from normalizingflows.jl_tpu.ops import rqs as oracle
+from normalizingflows.jl_tpu.ops import rqs_pallas as kern
+
+K = 10
+B = 5.0
+N = 300  # deliberately not a multiple of the kernel block size
+
+
+def _setup(seed=0, dtype=jnp.float32):
+    kx, kr = jax.random.split(jax.random.key(seed))
+    # inputs spanning inside and outside the [−B, B] box
+    x = jax.random.uniform(kx, (N,), dtype, minval=-1.5 * B, maxval=1.5 * B)
+    raw = 0.5 * jax.random.normal(kr, (N, 3 * K - 1), dtype)
+    return x, raw
+
+
+def _oracle_fwd(x, raw):
+    xs, ys, ds = oracle.rqs_params_from_raw(raw, B)
+    return oracle.rqs_forward(x, xs, ys, ds)
+
+
+def _oracle_inv(y, raw):
+    xs, ys, ds = oracle.rqs_params_from_raw(raw, B)
+    return oracle.rqs_inverse(y, xs, ys, ds)
+
+
+def test_forward_matches_oracle():
+    x, raw = _setup()
+    y_o, ld_o = _oracle_fwd(x, raw)
+    y_k, ld_k = kern.rqs_fused(x, raw, B, interpret=True)
+    np.testing.assert_allclose(y_k, y_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ld_k, ld_o, rtol=1e-4, atol=1e-5)
+
+
+def test_inverse_matches_oracle():
+    x, raw = _setup(seed=1)
+    y_o, ld_o = _oracle_inv(x, raw)
+    y_k, ld_k = kern.rqs_fused(x, raw, B, inverse=True, interpret=True)
+    np.testing.assert_allclose(y_k, y_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ld_k, ld_o, rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_roundtrip():
+    x, raw = _setup(seed=2)
+    y, ld_f = kern.rqs_fused(x, raw, B, interpret=True)
+    x2, ld_i = kern.rqs_fused(y, raw, B, inverse=True, interpret=True)
+    np.testing.assert_allclose(x2, x, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ld_f, -ld_i, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_gradients_match_oracle(inverse):
+    x, raw = _setup(seed=3)
+    ofn = _oracle_inv if inverse else _oracle_fwd
+
+    def loss_oracle(x, raw):
+        y, ld = ofn(x, raw)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(ld * 0.5)
+
+    def loss_kernel(x, raw):
+        y, ld = kern.rqs_fused(x, raw, B, inverse=inverse, interpret=True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(ld * 0.5)
+
+    go_x, go_r = jax.grad(loss_oracle, argnums=(0, 1))(x, raw)
+    gk_x, gk_r = jax.grad(loss_kernel, argnums=(0, 1))(x, raw)
+    np.testing.assert_allclose(gk_x, go_x, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(gk_r, go_r, rtol=2e-3, atol=1e-4)
+
+
+def test_multi_dim_batch_shape():
+    x, raw = _setup(seed=4)
+    x3 = x[:296].reshape(4, 74)
+    raw3 = raw[:296].reshape(4, 74, 3 * K - 1)
+    y, ld = kern.rqs_fused(x3, raw3, B, interpret=True)
+    assert y.shape == (4, 74) and ld.shape == (4, 74)
+    y_f, ld_f = kern.rqs_fused(x3.ravel(), raw3.reshape(-1, 3 * K - 1), B,
+                               interpret=True)
+    np.testing.assert_allclose(y.ravel(), y_f, rtol=1e-6)

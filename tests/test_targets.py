@@ -1,0 +1,98 @@
+"""Synthetic-target correctness: normalization, moments, and scores.
+
+The targets double as ground-truth oracles for the parity tests, so their
+log-densities are validated by numerical integration (2-D grids) and their
+samplers by moment-matching against analytic values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normalizingflows as nf
+
+
+def _grid_lognorm(logp, lo1, hi1, lo2, hi2, n=700):
+    """log ∫∫ exp(logp) over [lo1,hi1]×[lo2,hi2] via trapezoid — ≈ 0."""
+    xs = np.linspace(lo1, hi1, n)
+    ys = np.linspace(lo2, hi2, n)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], axis=-1))
+    lp = np.asarray(logp(pts)).reshape(n, n)
+    return np.log(
+        np.trapezoid(
+            np.trapezoid(np.exp(lp), dx=ys[1] - ys[0]), dx=xs[1] - xs[0]
+        )
+    )
+
+
+def test_banana_normalized_and_sampling(key):
+    t = nf.Banana(2, 1.0, 10.0)
+    # mass extends far down the x₂ = −b·x₁² branch
+    assert abs(_grid_lognorm(t.log_prob, -14, 14, -190, 15, 900)) < 1e-3
+    s = t.sample(key, (100_000,))
+    # ϕ⁻¹(samples) should be N(0, diag(var,1)); unit Jacobian
+    z = t._phi_inv(s)
+    m = jnp.mean(z, axis=0)
+    v = jnp.var(z, axis=0)
+    assert jnp.all(jnp.abs(m) < 0.05 * jnp.sqrt(jnp.asarray([10.0, 1.0])))
+    assert jnp.allclose(v, jnp.asarray([10.0, 1.0]), rtol=0.05)
+
+
+def test_funnel_normalized_and_score(key):
+    t = nf.Funnel(2, -1.0, 1.5)
+    assert abs(_grid_lognorm(t.log_prob, -8, 6, -25, 25, 900)) < 1e-2
+    x = jax.random.normal(key, (50, 2), jnp.float64)
+    ad_score = jax.vmap(jax.grad(lambda v: t.log_prob(v)))(x)
+    # analytic score (reference neal_funnel.jl:63-72) matches autodiff
+    assert jnp.allclose(t.score(x), ad_score, rtol=1e-6, atol=1e-8)
+    s = t.sample(key, (200_000,))
+    assert abs(float(jnp.mean(s[:, 0])) - (-1.0)) < 0.02
+    assert abs(float(jnp.std(s[:, 0])) - 1.5) < 0.02
+
+
+def test_cross_normalized_and_moments(key):
+    t = nf.Cross()
+    assert abs(_grid_lognorm(t.log_prob, -8, 8, -8, 8)) < 1e-3
+    s = t.sample(key, (200_000,))
+    # reference code's component means: (0,2), (−2,1), (2,1), (0,−2)
+    expect_mean = jnp.asarray([0.0, 0.5])
+    assert jnp.all(jnp.abs(jnp.mean(s, axis=0) - expect_mean) < 0.02)
+
+
+def test_warped_gauss_normalized_and_sampling(key):
+    t = nf.WarpedGauss()
+    # even n avoids the r=0 grid point where 1/r-type terms are singular
+    assert abs(_grid_lognorm(t.log_prob, -5, 5, -5, 5, 700)) < 1e-3
+    s = t.sample(key, (100_000,))
+    # the warp is a rotation-by-radius: radii are preserved, so
+    # E[r²] = σ₁² + σ₂²
+    r2 = jnp.mean(jnp.sum(jnp.square(s), axis=-1))
+    assert abs(float(r2) - (1.0 + 0.12**2)) < 0.02
+    # density matches the sampler: MC entropy check
+    h_mc = float(-jnp.mean(t.log_prob(s)))
+    # entropy is rotation-invariant = entropy of N(0, diag(σ₁², σ₂²))
+    h_true = 0.5 * (2 * (1 + np.log(2 * np.pi))) + np.log(1.0 * 0.12)
+    assert abs(h_mc - h_true) < 0.02
+
+
+def test_warped_gauss_ref_compat_mode(key):
+    """ref_compat=True reproduces the reference's (unnormalized) logpdf,
+    which includes a +log(r) term (`warped_gaussian.jl:85`)."""
+    t0 = nf.WarpedGauss()
+    t1 = nf.WarpedGauss(1.0, 0.12, ref_compat=True)
+    x = t0.sample(key, (100,))
+    r = jnp.linalg.norm(x, axis=-1)
+    assert jnp.allclose(t1.log_prob(x), t0.log_prob(x) + jnp.log(r),
+                        atol=1e-6)
+
+
+def test_density_matches_sampler_banana(key):
+    """Cross-check: MC estimate of E[log p] from the sampler should match
+    the analytic differential entropy implied by the density."""
+    t = nf.Banana(2, 1.0, 10.0)
+    s = t.sample(key, (100_000,))
+    # entropy of N(0, diag(10,1)) (unit-Jacobian transform preserves it):
+    h = 0.5 * (2 * (1 + np.log(2 * np.pi)) + np.log(10.0))
+    assert abs(float(-jnp.mean(t.log_prob(s))) - h) < 0.02
