@@ -19,6 +19,7 @@ single-threaded CPU execution model. Prints ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -74,7 +75,7 @@ def make_train_chunk(flow, target, n_samples):
     return run, optimizer
 
 
-def _timed_train(run, flow, opt_state, n_steps, reps=3):
+def _timed_train(run, flow, opt_state, n_steps, reps=2):
     """Wall time of an n_steps training scan, synced by fetching the final
     loss value to the host. Returns (best_seconds, final_loss)."""
     keys = jax.random.split(jax.random.key(1), n_steps)
@@ -90,18 +91,25 @@ def _timed_train(run, flow, opt_state, n_steps, reps=3):
     return best, fl
 
 
-def measure_steps_per_s(device, n=4000):
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def measure_steps_per_s(device, n=2000):
     with jax.default_device(device):
         flow, target = build()
         run, optimizer = make_train_chunk(flow, target, BATCH)
         opt_state = optimizer.init(flow)
+        _log(f"steps timing on {device}: n={n}")
         t1, fl = _timed_train(run, flow, opt_state, n)
+        _log(f"t({n} steps)={t1:.3f}s")
         t2, _ = _timed_train(run, flow, opt_state, 2 * n)
+        _log(f"t({2*n} steps)={t2:.3f}s")
     per_step = max((t2 - t1) / n, 1e-12)  # slope: overhead cancels
     return 1.0 / per_step, fl
 
 
-def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=4):
+def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2):
     with jax.default_device(device):
         flow, _ = build()
 
@@ -126,8 +134,11 @@ def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=4):
                     best = min(best, time.perf_counter() - t0)
             return best
 
+        _log("samples timing: m=4")
         t1 = timed(4)
+        _log(f"t(4 batches)={t1:.3f}s; m=8")
         t2 = timed(8)
+        _log(f"t(8 batches)={t2:.3f}s")
     per_batch = max((t2 - t1) / 4, 1e-12)
     return n / per_batch
 
@@ -153,7 +164,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3),
         "samples_per_s": round(samples_per_s, 1),
-        "final_loss_4000_steps": round(final_loss, 4),
+        "final_loss_2000_steps": round(final_loss, 4),
         "batch_per_step": BATCH,
         "device": str(accel),
         "baseline_def": "same jitted program on 1 host CPU core (reference "

@@ -40,7 +40,12 @@ from .models.distributions import (
 )
 from .models.flows import create_flow
 from .models.nets import MLP, fnn, mlp3
-from .models.coupling import AffineCoupling, RealNVP_layer, realnvp
+from .models.coupling import (
+    AffineCoupling,
+    FusedRealNVP,
+    RealNVP_layer,
+    realnvp,
+)
 from .models.spline import NeuralSplineCoupling, NSF_layer, nsf
 from .models.planar_radial import (
     PlanarLayer,
@@ -61,7 +66,13 @@ from .objectives import (
     elbo_stl,
     loglikelihood,
 )
-from .train import TrainResult, TrainState, optimize, train_flow
+from .train import (
+    TrainResult,
+    TrainState,
+    optimize,
+    train_flow,
+    train_flow_mle,
+)
 
 __version__ = "0.1.0"
 
@@ -74,7 +85,7 @@ __all__ = [
     "TransformedDistribution", "transformed",
     # flows
     "create_flow", "MLP", "fnn", "mlp3",
-    "AffineCoupling", "RealNVP_layer", "realnvp",
+    "AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp",
     "NeuralSplineCoupling", "NSF_layer", "nsf",
     "PlanarLayer", "RadialLayer", "planarflow", "radialflow",
     "LeapFrog", "hamiltonian_flow", "momentum_normalization_layer",
@@ -83,5 +94,5 @@ __all__ = [
     # objectives
     "elbo", "elbo_batch", "elbo_single_sample", "elbo_stl", "loglikelihood",
     # training
-    "TrainResult", "TrainState", "optimize", "train_flow",
+    "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
 ]

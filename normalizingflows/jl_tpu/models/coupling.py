@@ -22,6 +22,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops import coupling_pallas
 from ..ops.masks import PartitionMask
 from ..utils.pytree import module, static_field
 from .bijector import Bijector, Chain, stack_bijectors
@@ -29,7 +30,7 @@ from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
 from .nets import MLP, fnn
 
-__all__ = ["AffineCoupling", "RealNVP_layer", "realnvp"]
+__all__ = ["AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp"]
 
 
 @module
@@ -87,6 +88,61 @@ def RealNVP_layer(
     return [c1, c2]
 
 
+@module
+class FusedRealNVP(Bijector):
+    """Whole-stack RealNVP applied by the fused Pallas kernel
+    (`ops/coupling_pallas.py`): all blocks execute in one kernel with
+    activations VMEM-resident. Mathematically identical to
+    `Repeated(Chain([AffineCoupling_even, AffineCoupling_odd]))` — the
+    equivalence is pinned in tests/test_coupling_kernel.py."""
+
+    groups: dict  # {'even'|'odd': {'s'|'t': ((W, b), ...)}} stacked arrays
+    idx_even: tuple = static_field()
+    idx_odd: tuple = static_field()
+    interpret: bool = static_field(default=False)
+
+    @staticmethod
+    def from_blocks(blocks, interpret: bool = False) -> "FusedRealNVP":
+        """Build from a list of `[c_even, c_odd]` AffineCoupling pairs (as
+        produced by `RealNVP_layer`), stacking weights across blocks."""
+
+        def mlp_params(mlp: MLP):
+            return tuple((l.W, l.b) for l in mlp.layers)
+
+        def stack_group(pick):
+            per_block = [pick(b) for b in blocks]
+            return jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *per_block
+            )
+
+        groups = {
+            "even": {
+                "s": stack_group(lambda b: mlp_params(b[0].s)),
+                "t": stack_group(lambda b: mlp_params(b[0].t)),
+            },
+            "odd": {
+                "s": stack_group(lambda b: mlp_params(b[1].s)),
+                "t": stack_group(lambda b: mlp_params(b[1].t)),
+            },
+        }
+        return FusedRealNVP(
+            groups, blocks[0][0].mask.idx_a, blocks[0][1].mask.idx_a,
+            interpret,
+        )
+
+    def forward_and_log_det(self, x):
+        return coupling_pallas.coupling_stack_fused(
+            x, self.groups, self.idx_even, self.idx_odd,
+            inverse=False, interpret=self.interpret,
+        )
+
+    def inverse_and_log_det(self, y):
+        return coupling_pallas.coupling_stack_fused(
+            y, self.groups, self.idx_even, self.idx_odd,
+            inverse=True, interpret=self.interpret,
+        )
+
+
 def realnvp(
     key: jax.Array,
     q0: Distribution | int,
@@ -94,6 +150,8 @@ def realnvp(
     nlayers: int = 10,
     dtype=jnp.float32,
     scan: bool = True,
+    fused: bool = False,
+    interpret: bool = False,
 ) -> TransformedDistribution:
     """RealNVP flow (reference `realnvp.jl:170-192`); ``q0`` may be a base
     distribution or an int dim (→ standard DiagNormal base). Defaults
@@ -101,14 +159,21 @@ def realnvp(
 
     ``scan=True`` (default) stacks the blocks into a `Repeated` scan so
     compile time is depth-independent; ``scan=False`` lays them out as a
-    flat `Chain` (same math, per-layer call sites)."""
+    flat `Chain` (same math, per-layer call sites). ``fused=True`` runs the
+    whole stack through the single fused Pallas kernel instead
+    (`FusedRealNVP`; TPU, or anywhere with ``interpret=True``)."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
-    blocks = [
-        Chain(RealNVP_layer(k, dim, hdims, dtype))
+    pairs = [
+        RealNVP_layer(k, dim, hdims, dtype)
         for k in jax.random.split(key, nlayers)
     ]
+    if fused:
+        return create_flow(
+            [FusedRealNVP.from_blocks(pairs, interpret=interpret)], q0
+        )
+    blocks = [Chain(p) for p in pairs]
     if scan and nlayers > 1:
         return create_flow([stack_bijectors(blocks)], q0)
     return create_flow(blocks, q0)

@@ -1,0 +1,308 @@
+"""Fused full-flow RealNVP Pallas kernel.
+
+One `pallas_call` applies an ENTIRE stack of affine-coupling blocks —
+partition, both conditioner MLPs, exp-scale-shift, log-det row-reduction,
+and combine, for every block — while the activations stay resident in VMEM.
+The unfused path (even as one XLA program) writes each layer's (batch, d)
+intermediates and each conditioner's (batch, h) activations to HBM; this
+kernel reads x once and writes (y, log_det) once per tile — the bandwidth
+floor for the sampling / ELBO-forward paths (reference hot loop:
+`src/flows/realnvp.jl:77-83` under `_batched_elbos`,
+`src/objectives/elbo.jl:65-70`).
+
+Layout & mapping:
+  * grid over batch tiles (TILE rows); all stacked block weights live in
+    VMEM whole (a RealNVP conditioner stack is KBs).
+  * partition/combine are one-hot selection matmuls (x @ Sel, y @ Selᵀ) on
+    the MXU — works for ANY static mask, no gathers.
+  * block loop is a `fori_loop` with dynamic indexing into the stacked
+    weight refs; within a block: even-mask coupling then odd-mask coupling
+    (`RealNVP_layer`, reference `realnvp.jl:132-145`).
+  * backward = recompute-forward + `jax.vjp` INSIDE a second kernel
+    (flops traded for HBM traffic; no residuals materialize), exposed via
+    `jax.custom_vjp`.
+
+Weight pytree convention (see `models/coupling.py::FusedRealNVP`): two
+coupling groups ('even', 'odd'); each group is a dict of stacked Dense
+params with leading axis n_blocks:
+    {'s': [(W, b), ...depth], 't': [(W, b), ...depth]}
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["coupling_stack_fused"]
+
+TILE = 256
+
+
+def _leaky_relu(x):
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _sel_matrix(dim, idx, dtype):
+    """One-hot selection matrix (dim, |idx|) built from STATIC indices via
+    iota + scalar compares only (no captured constant arrays — pallas
+    requires kernel-closure constants to be built in-kernel)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (dim, len(idx)), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (dim, len(idx)), 1)
+    target = jnp.zeros((dim, len(idx)), jnp.int32)
+    for j, i in enumerate(idx):
+        target = jnp.where(cols == j, jnp.int32(i), target)
+    return (rows == target).astype(dtype)
+
+
+def _mlp(xb, weights, out_tanh):
+    """Apply a Dense chain [(W,b), ...] with leaky-relu hiddens."""
+    h = xb
+    depth = len(weights)
+    for li, (W, b) in enumerate(weights):
+        h = jnp.dot(h, W, preferred_element_type=h.dtype) + b
+        if li < depth - 1:
+            h = _leaky_relu(h)
+        elif out_tanh:
+            h = jnp.tanh(h)
+    return h
+
+
+def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse):
+    """One affine coupling on a (TILE, d) tile with selection matmuls."""
+    dtype = x.dtype
+    x_a = jnp.dot(x, sel_a, preferred_element_type=dtype)
+    x_b = jnp.dot(x, sel_b, preferred_element_type=dtype)
+    s = _mlp(x_b, s_weights, out_tanh=True)
+    t = _mlp(x_b, t_weights, out_tanh=False)
+    if inverse:
+        y_a = (x_a - t) * jnp.exp(-s)
+        ld = ld - jnp.sum(s, axis=-1)
+    else:
+        y_a = x_a * jnp.exp(s) + t
+        ld = ld + jnp.sum(s, axis=-1)
+    y = jnp.dot(y_a, sel_a.T, preferred_element_type=dtype) + jnp.dot(
+        x_b, sel_b.T, preferred_element_type=dtype
+    )
+    return y, ld
+
+
+def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
+    """Whole-flow transform of a (TILE, d) tile. Pure jnp — shared by the
+    forward kernel and the in-kernel vjp of the backward kernel.
+
+    flat_weights: flat list of stacked arrays (leading axis n_blocks).
+    sels: STATIC index tuples (idx_even, comp_even, idx_odd, comp_odd)."""
+    groups = jax.tree_util.tree_unflatten(tree_def, flat_weights)
+    d = x.shape[-1]
+    idx_e, comp_e, idx_o, comp_o = sels
+    sel_ae = _sel_matrix(d, idx_e, x.dtype)
+    sel_be = _sel_matrix(d, comp_e, x.dtype)
+    sel_ao = _sel_matrix(d, idx_o, x.dtype)
+    sel_bo = _sel_matrix(d, comp_o, x.dtype)
+    ld = x[:, 0] * 0
+
+    def block(i, carry):
+        x, ld = carry
+
+        def at(pair):
+            W, b = pair
+            return W[i], b[i]
+
+        even_s = [at(p) for p in groups["even"]["s"]]
+        even_t = [at(p) for p in groups["even"]["t"]]
+        odd_s = [at(p) for p in groups["odd"]["s"]]
+        odd_t = [at(p) for p in groups["odd"]["t"]]
+        if not inverse:
+            x, ld = _apply_coupling(x, ld, sel_ae, sel_be, even_s, even_t,
+                                    False)
+            x, ld = _apply_coupling(x, ld, sel_ao, sel_bo, odd_s, odd_t,
+                                    False)
+        else:
+            x, ld = _apply_coupling(x, ld, sel_ao, sel_bo, odd_s, odd_t,
+                                    True)
+            x, ld = _apply_coupling(x, ld, sel_ae, sel_be, even_s, even_t,
+                                    True)
+        return x, ld
+
+    if inverse:
+        # reversed block order: fori with reindexing
+        def rev_block(j, carry):
+            return block(n_blocks - 1 - j, carry)
+
+        x, ld = jax.lax.fori_loop(0, n_blocks, rev_block, (x, ld))
+    else:
+        x, ld = jax.lax.fori_loop(0, n_blocks, block, (x, ld))
+    return x, ld
+
+
+def _fwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
+    *w_refs, y_ref, ld_ref = refs
+    y, ld = _tile_flow(
+        x_ref[:], [r[:] for r in w_refs],
+        tree_def=tree_def, sels=sels, n_blocks=n_blocks, depth=depth,
+        inverse=inverse,
+    )
+    y_ref[:] = y
+    ld_ref[:, 0] = ld
+
+
+def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
+    n_w = tree_def.num_leaves
+    w_refs = refs[:n_w]
+    gy_ref, gld_ref = refs[n_w:n_w + 2]
+    gx_ref = refs[n_w + 2]
+    gw_refs = refs[n_w + 3:]
+
+    def fn(x, flat_w):
+        return _tile_flow(
+            x, flat_w, tree_def=tree_def, sels=sels, n_blocks=n_blocks,
+            depth=depth, inverse=inverse,
+        )
+
+    _, vjp = jax.vjp(fn, x_ref[:], [r[:] for r in w_refs])
+    gx, gws = vjp((gy_ref[:], gld_ref[:, 0]))
+    gx_ref[:] = gx
+    for ref, g in zip(gw_refs, gws):
+        # accumulate weight grads over grid steps (batch tiles)
+        @pl.when(pl.program_id(0) == 0)
+        def _init(ref=ref, g=g):
+            ref[:] = g
+
+        @pl.when(pl.program_id(0) != 0)
+        def _acc(ref=ref, g=g):
+            ref[:] = ref[:] + g
+
+
+def _pad_rows(a, n_pad):
+    if n_pad == 0:
+        return a
+    return jnp.pad(a, [(0, n_pad)] + [(0, 0)] * (a.ndim - 1))
+
+
+def _weight_spec(a):
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _call_fwd(x, flat_w, static, interpret):
+    n, d = x.shape
+    n_pad = (-n) % TILE
+    xp = _pad_rows(x, n_pad)
+    grid = (xp.shape[0] // TILE,)
+    kern = functools.partial(_fwd_kernel, **static)
+    y, ld = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_weight_spec(a) for a in flat_w],
+        out_specs=[
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xp.shape, x.dtype),
+            jax.ShapeDtypeStruct((xp.shape[0], 1), x.dtype),
+        ],
+        interpret=interpret,
+    )(xp, *flat_w)
+    return y[:n], ld[:n, 0]
+
+
+def _call_bwd(x, flat_w, gy, gld, static, interpret):
+    n, d = x.shape
+    n_pad = (-n) % TILE
+    xp = _pad_rows(x, n_pad)
+    gyp = _pad_rows(gy, n_pad)
+    gldp = _pad_rows(gld[:, None], n_pad)
+    grid = (xp.shape[0] // TILE,)
+    kern = functools.partial(_bwd_kernel, **static)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [_weight_spec(a) for a in flat_w]
+        + [
+            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+        + [_weight_spec(a) for a in flat_w],
+        out_shape=[jax.ShapeDtypeStruct(xp.shape, x.dtype)]
+        + [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_w],
+        interpret=interpret,
+    )(xp, *flat_w, gyp, gldp)
+    gx, gws = out[0][:n], out[1:]
+    return gx, list(gws)
+
+
+def _make_static(tree_def, sels, n_blocks, depth, inverse):
+    return dict(tree_def=tree_def, sels=sels, n_blocks=n_blocks,
+                depth=depth, inverse=inverse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _fused(x, flat_w, tree_def, sels, n_blocks, depth, inverse, interpret):
+    static = _make_static(tree_def, sels, n_blocks, depth, inverse)
+    return _call_fwd(x, flat_w, static, interpret)
+
+
+def _fused_fwd(x, flat_w, tree_def, sels, n_blocks, depth, inverse,
+               interpret):
+    out = _fused(x, flat_w, tree_def, sels, n_blocks, depth, inverse,
+                 interpret)
+    return out, (x, flat_w)
+
+
+def _fused_bwd(tree_def, sels, n_blocks, depth, inverse, interpret, res, g):
+    x, flat_w = res
+    gy, gld = g
+    static = _make_static(tree_def, sels, n_blocks, depth, inverse)
+    gx, gw = _call_bwd(x, flat_w, gy, gld, static, interpret)
+    return gx, gw
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def coupling_stack_fused(
+    x: jax.Array,
+    groups: dict,
+    idx_even: tuple,
+    idx_odd: tuple,
+    inverse: bool = False,
+    interpret: bool = False,
+):
+    """Fused RealNVP stack transform.
+
+    ``x``: (..., d). ``groups``: {'even'|'odd': {'s'|'t': [(W,b),...]}}
+    with stacked leading block axis. ``idx_even``/``idx_odd``: the
+    transformed index sets of the two couplings in each block.
+    Returns (y, log_det) with log_det shaped (...,).
+    """
+    batch_shape = x.shape[:-1]
+    d = x.shape[-1]
+    x2 = x.reshape(-1, d)
+    idx_even = tuple(int(i) for i in idx_even)
+    idx_odd = tuple(int(i) for i in idx_odd)
+    comp_even = tuple(i for i in range(d) if i not in set(idx_even))
+    comp_odd = tuple(i for i in range(d) if i not in set(idx_odd))
+
+    flat_w, tree_def = jax.tree_util.tree_flatten(groups)
+    n_blocks = flat_w[0].shape[0]
+    depth = len(groups["even"]["s"])
+    y, ld = _fused(
+        x2, flat_w, tree_def, (idx_even, comp_even, idx_odd, comp_odd),
+        n_blocks, depth, bool(inverse), bool(interpret),
+    )
+    return y.reshape(x.shape), ld.reshape(batch_shape)

@@ -33,7 +33,9 @@ import optax
 from .models.distributions import TransformedDistribution
 from .utils.pytree import apply_mask, global_norm, trainable_mask
 
-__all__ = ["train_flow", "optimize", "TrainResult", "TrainState"]
+__all__ = [
+    "train_flow", "train_flow_mle", "optimize", "TrainResult", "TrainState",
+]
 
 
 class TrainState(NamedTuple):
@@ -168,6 +170,94 @@ def train_flow(
     return TrainResult(
         flow, stats, TrainState(flow, opt_state, it)
     )
+
+
+def train_flow_mle(
+    flow: TransformedDistribution,
+    loader,
+    max_iters: int = 1000,
+    optimizer: optax.GradientTransformation | None = None,
+    train_base: bool = False,
+    check_every: int = 100,
+    show_progress: bool = False,
+    callback: Callable | None = None,
+    resume_state: TrainState | None = None,
+) -> TrainResult:
+    """Forward-KL (maximum-likelihood) training from a data loader.
+
+    Implements the dataloader variant the reference leaves as a TODO
+    (`src/objectives/loglikelihood.jl:35-43`): ``loader`` is any object with
+    ``next_batches(k) -> (k, batch, dim)`` (see `utils/data.py` — the
+    C++ prefetching `NativeLoader` or the numpy fallback). Each chunk of
+    ``check_every`` minibatches is transferred once and scanned on-device;
+    the loss is the negated mean log-likelihood (density path §3.4).
+    """
+    from .objectives import loglikelihood
+
+    optimizer = optimizer or _default_optimizer()
+    frozen_pred = None if train_base else (lambda m: m is flow.base)
+    mask = trainable_mask(flow, frozen=frozen_pred)
+
+    if resume_state is not None:
+        flow = resume_state.flow
+        opt_state = resume_state.opt_state
+        start_iter = resume_state.iteration
+    else:
+        opt_state = optimizer.init(flow)
+        start_iter = 0
+
+    def train_step(carry, batch):
+        f, st = carry
+        loss_val, grads = jax.value_and_grad(
+            lambda f: -loglikelihood(f, batch)
+        )(f)
+        grads = apply_mask(grads, mask)
+        gnorm = global_norm(grads)
+        updates, st = optimizer.update(grads, st, f)
+        f = optax.apply_updates(f, updates)
+        return (f, st), (loss_val, gnorm)
+
+    @jax.jit
+    def run_chunk(f, st, batches):
+        (f, st), (losses, gnorms) = jax.lax.scan(train_step, (f, st),
+                                                 batches)
+        return f, st, losses, gnorms
+
+    all_loss, all_gnorm = [], []
+    it = start_iter
+    t0 = time.perf_counter()
+    while it < start_iter + max_iters:
+        chunk = min(check_every, start_iter + max_iters - it)
+        batches = jnp.asarray(loader.next_batches(chunk))
+        flow, opt_state, losses, gnorms = run_chunk(flow, opt_state,
+                                                    batches)
+        all_loss.append(np.asarray(losses))
+        all_gnorm.append(np.asarray(gnorms))
+        it += chunk
+        stat = {
+            "iteration": it,
+            "loss": float(all_loss[-1][-1]),
+            "gradient_norm": float(all_gnorm[-1][-1]),
+        }
+        if callback is not None:
+            callback(it, stat, flow)
+        if show_progress:
+            rate = it / max(time.perf_counter() - t0, 1e-9)
+            print(
+                f"[train_flow_mle] iter {it:>7d}  nll {stat['loss']:+.6f}"
+                f"  |g| {stat['gradient_norm']:.3e}  ({rate:.1f} it/s)",
+                flush=True,
+            )
+
+    loss_arr = np.concatenate(all_loss) if all_loss else np.zeros((0,))
+    gnorm_arr = np.concatenate(all_gnorm) if all_gnorm else np.zeros((0,))
+    stats = {
+        "iteration": np.arange(start_iter + 1,
+                               start_iter + 1 + len(loss_arr)),
+        "loss": loss_arr,
+        "gradient_norm": gnorm_arr,
+    }
+    return TrainResult(flow, stats, TrainState(flow, opt_state, it))
 
 
 def optimize(

@@ -43,10 +43,17 @@ def load_pytree(path: str, template: Any) -> Any:
             f"{treedef.num_leaves}"
         )
     template_leaves = jax.tree_util.tree_leaves(template)
-    cast = [
-        jax.numpy.asarray(saved, dtype=getattr(tl, "dtype", None))
-        for saved, tl in zip(leaves, template_leaves)
-    ]
+    cast = []
+    for i, (saved, tl) in enumerate(zip(leaves, template_leaves)):
+        t_shape = getattr(tl, "shape", None)
+        if t_shape is not None and tuple(saved.shape) != tuple(t_shape):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(saved.shape)}, "
+                f"template expects {tuple(t_shape)}"
+            )
+        cast.append(
+            jax.numpy.asarray(saved, dtype=getattr(tl, "dtype", None))
+        )
     return jax.tree_util.tree_unflatten(treedef, cast)
 
 
