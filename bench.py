@@ -18,6 +18,7 @@ the IDENTICAL jitted program — a conservative stand-in for the reference's
 single-threaded CPU execution model. Prints ONE JSON line.
 """
 
+import functools
 import json
 import sys
 import time
@@ -113,7 +114,7 @@ def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2):
     with jax.default_device(device):
         flow, _ = build()
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames="m")
         def draw_many(flow, key, m):
             # m sequential batches of n samples in one device program;
             # checksum forces materialization of every batch

@@ -49,7 +49,17 @@ class Dense(Module):
         return Dense(W, b, activation)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = x @ self.W + self.b
+        # Full-precision matmul for f32/f64 params: TPU DEFAULT precision
+        # rounds f32 operands to bf16 on the MXU, which breaks the
+        # reference's exact-arithmetic density semantics (log-dets feed
+        # exp()). Conditioners are tiny, so HIGHEST is effectively free;
+        # passing bf16 params opts into fast MXU arithmetic explicitly.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.W.dtype in (jnp.float32, jnp.float64)
+            else None
+        )
+        y = jnp.matmul(x, self.W, precision=prec) + self.b
         if self.activation is not None:
             y = self.activation(y)
         return y

@@ -58,12 +58,23 @@ def _sel_matrix(dim, idx, dtype):
     return (rows == target).astype(dtype)
 
 
+# Full-f32 matmuls: TPU DEFAULT precision rounds f32 inputs to bf16 on the
+# MXU, which corrupts the one-hot selection products (x itself gets rounded)
+# and compounds across the coupling stack. These matrices are tiny (d and
+# hdims ≤ a few hundred); the kernel is bandwidth-bound, so HIGHEST is free.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+
 def _mlp(xb, weights, out_tanh):
     """Apply a Dense chain [(W,b), ...] with leaky-relu hiddens."""
     h = xb
     depth = len(weights)
     for li, (W, b) in enumerate(weights):
-        h = jnp.dot(h, W, preferred_element_type=h.dtype) + b
+        h = _dot(h, W) + b
         if li < depth - 1:
             h = _leaky_relu(h)
         elif out_tanh:
@@ -73,9 +84,8 @@ def _mlp(xb, weights, out_tanh):
 
 def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse):
     """One affine coupling on a (TILE, d) tile with selection matmuls."""
-    dtype = x.dtype
-    x_a = jnp.dot(x, sel_a, preferred_element_type=dtype)
-    x_b = jnp.dot(x, sel_b, preferred_element_type=dtype)
+    x_a = _dot(x, sel_a)
+    x_b = _dot(x, sel_b)
     s = _mlp(x_b, s_weights, out_tanh=True)
     t = _mlp(x_b, t_weights, out_tanh=False)
     if inverse:
@@ -84,9 +94,7 @@ def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse):
     else:
         y_a = x_a * jnp.exp(s) + t
         ld = ld + jnp.sum(s, axis=-1)
-    y = jnp.dot(y_a, sel_a.T, preferred_element_type=dtype) + jnp.dot(
-        x_b, sel_b.T, preferred_element_type=dtype
-    )
+    y = _dot(y_a, sel_a.T) + _dot(x_b, sel_b.T)
     return y, ld
 
 
@@ -106,6 +114,11 @@ def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
     ld = x[:, 0] * 0
 
     def block(i, carry):
+        # i is a PYTHON int (the loop is unrolled): W[i] is a STATIC slice.
+        # Mosaic cannot lower dynamic_slice on the stacked weight arrays
+        # inside a fori_loop, so the block loop must be unrolled — n_blocks
+        # is small and static (reference default 10, `realnvp.jl:190-192`),
+        # and the weights are VMEM-resident either way.
         x, ld = carry
 
         def at(pair):
@@ -128,14 +141,9 @@ def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
                                     True)
         return x, ld
 
-    if inverse:
-        # reversed block order: fori with reindexing
-        def rev_block(j, carry):
-            return block(n_blocks - 1 - j, carry)
-
-        x, ld = jax.lax.fori_loop(0, n_blocks, rev_block, (x, ld))
-    else:
-        x, ld = jax.lax.fori_loop(0, n_blocks, block, (x, ld))
+    order = range(n_blocks - 1, -1, -1) if inverse else range(n_blocks)
+    for i in order:
+        x, ld = block(i, (x, ld))
     return x, ld
 
 
