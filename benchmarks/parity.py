@@ -1,0 +1,246 @@
+"""Parity harness: run the five reference demo workloads to convergence and
+record ELBO + posterior-moment parity (BASELINE.md / SURVEY.md §7 step 7).
+
+The reference publishes no numbers (README.md:88 "- [ ] benchmarking"), so
+parity is defined against the exact synthetic targets themselves: a trained
+flow must (a) reach a final ELBO within MC error of the best observed for
+that workload and (b) reproduce the target's per-coordinate mean/std within
+MC error. Workload configs replicate the reference demos exactly (file:line
+in WORKLOADS).
+
+Usage:
+    python benchmarks/parity.py --workload realnvp --iters 50000
+    python benchmarks/parity.py --workload all --quick   # CI-speed pass
+    python benchmarks/parity.py --report                 # PARITY.md from json
+
+Results append to benchmarks/PARITY.json (one entry per workload, newest
+wins) and --report renders benchmarks/PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import normalizingflows as nf
+
+HERE = Path(__file__).resolve().parent
+JSON_PATH = HERE / "PARITY.json"
+MD_PATH = HERE / "PARITY.md"
+
+N_EVAL = 4096     # MC samples for final ELBO estimates
+N_MOMENT = 65536  # samples for moment comparison
+
+
+def _moments(samples):
+    mean = jnp.mean(samples, axis=0)
+    std = jnp.std(samples, axis=0)
+    return mean, std
+
+
+def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
+         optimizer, max_iters, check_every, seed=123, dtype=jnp.float32):
+    key = jax.random.key(seed)
+    ke, kt, km1, km2 = jax.random.split(key, 4)
+
+    before = float(nf.elbo_batch(ke, flow, target_logp, N_EVAL))
+    t0 = time.perf_counter()
+    res = nf.train_flow(
+        kt, objective, flow, target_logp, n_per_iter,
+        max_iters=max_iters, optimizer=optimizer,
+        check_every=check_every,
+    )
+    # sync on a final scalar fetch (remote TPU backends can return early)
+    after = float(nf.elbo_batch(jax.random.key(7), res.flow, target_logp,
+                                N_EVAL))
+    wall = time.perf_counter() - t0
+
+    flow_samples = jax.jit(
+        lambda k: res.flow.sample(k, (N_MOMENT,))
+    )(km1)
+    target_samples = target_sampler(km2, N_MOMENT)
+    fm, fs = _moments(flow_samples)
+    tm, ts = _moments(target_samples)
+    # MC standard error of the mean/std estimates, used as the parity yard-
+    # stick: |Δ| should be a small multiple of the MC error at N_MOMENT
+    sem = float(jnp.max(ts)) / math.sqrt(N_MOMENT)
+
+    return {
+        "workload": name,
+        "iters": int(max_iters),
+        "elbo_before": round(before, 4),
+        "elbo_after": round(after, 4),
+        "iters_per_s": round(max_iters / wall, 1),
+        "mean_flow": [round(float(v), 4) for v in fm],
+        "mean_target": [round(float(v), 4) for v in tm],
+        "std_flow": [round(float(v), 4) for v in fs],
+        "std_target": [round(float(v), 4) for v in ts],
+        "max_abs_mean_err": round(float(jnp.max(jnp.abs(fm - tm))), 4),
+        "max_abs_std_err": round(float(jnp.max(jnp.abs(fs - ts))), 4),
+        "mc_sem": round(sem, 5),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def planar(iters):
+    """`example/demo_planar_flow.jl:16-48`: Banana(2,1,10), f64, 10 layers,
+    32 samples/iter, Adam(1e-2), elbo_batch."""
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    t = nf.Banana(2, jnp.asarray(1.0, dtype), jnp.asarray(10.0, dtype))
+    flow = nf.planarflow(jax.random.key(0),
+                         nf.DiagNormal.standard(2, dtype), nlayers=10,
+                         dtype=dtype)
+    return _run("planar_banana_easy", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 32,
+                optax.adam(1e-2), iters, max(iters // 10, 1), dtype=dtype)
+
+
+def radial(iters):
+    """`example/demo_radial_flow.jl:16-49`: WarpedGauss, f64, 10 layers,
+    32 samples/iter, Adam(1e-2), elbo_batch."""
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    t = nf.WarpedGauss(jnp.asarray(1.0, dtype), jnp.asarray(0.12, dtype))
+    flow = nf.radialflow(jax.random.key(0),
+                         nf.DiagNormal.standard(2, dtype), nlayers=10,
+                         dtype=dtype)
+    return _run("radial_warpedgauss", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 32,
+                optax.adam(1e-2), iters, max(iters // 10, 1), dtype=dtype)
+
+
+def realnvp(iters):
+    """`example/demo_RealNVP.jl:20-61`: hard Banana(2,1,100), f32, 3 layers
+    [16,16], 16 samples/iter, Adam(5e-4), elbo_batch (≈50k to converge)."""
+    t = nf.Banana(2, 1.0, 100.0)
+    flow = jax.jit(
+        lambda k: nf.realnvp(k, 2, (16, 16), nlayers=3)
+    )(jax.random.key(0))
+    return _run("realnvp_banana_hard", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 16,
+                optax.adam(5e-4), iters, max(iters // 10, 1))
+
+
+def nsf(iters):
+    """`example/demo_neural_spline_flow.jl:20-53`: hard Banana(2,1,100),
+    f32, defaults (10 layers, [32,32], K=10, B=30), 64 samples/iter,
+    Adam(1e-4), elbo_batch."""
+    t = nf.Banana(2, 1.0, 100.0)
+    flow = jax.jit(
+        lambda k: nf.nsf(k, 2)
+    )(jax.random.key(0))
+    return _run("nsf_banana_hard", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 64,
+                optax.adam(1e-4), iters, max(iters // 10, 1))
+
+
+def hamiltonian(iters):
+    """`example/demo_hamiltonian_flow.jl:105-171`: Funnel(2,−8,5), f64,
+    15 blocks × 3 leapfrog, ϵ₀=0.05, per-sample elbo on the joint space,
+    16 samples/iter, Adam(3e-4)."""
+    from normalizingflows.jl_tpu.models.hamiltonian import joint_logp
+
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    dim = 2
+    t = nf.Funnel(dim, jnp.asarray(-8.0, dtype), jnp.asarray(5.0, dtype))
+    flow = nf.hamiltonian_flow(dim, t.score, n_blocks=15, L=3, eps0=0.05,
+                               dtype=dtype)
+    lp = joint_logp(t.log_prob, dim)
+
+    def sample_joint_x(k, n):
+        # compare x-marginal moments only; momenta are exactly N(0, I)
+        return t.sample(k, (n,))
+
+    out = _run("hamiltonian_funnel", flow, lp, sample_joint_x, nf.elbo, 16,
+               optax.adam(3e-4), iters, max(iters // 10, 1), dtype=dtype)
+    # the flow lives on the 2d joint space: keep only the x block's moments
+    for f in ("mean_flow", "std_flow"):
+        out[f] = out[f][:dim]
+    out["max_abs_mean_err"] = round(
+        max(abs(a - b) for a, b in zip(out["mean_flow"],
+                                       out["mean_target"])), 4)
+    out["max_abs_std_err"] = round(
+        max(abs(a - b) for a, b in zip(out["std_flow"],
+                                       out["std_target"])), 4)
+    return out
+
+
+WORKLOADS = {
+    "planar": (planar, 10_000, 500),
+    "radial": (radial, 10_000, 500),
+    "realnvp": (realnvp, 50_000, 2_000),
+    "nsf": (nsf, 20_000, 1_000),
+    "hamiltonian": (hamiltonian, 1_000, 100),
+}
+
+
+def save(entry):
+    data = {}
+    if JSON_PATH.exists():
+        data = json.loads(JSON_PATH.read_text())
+    data[entry["workload"]] = entry
+    JSON_PATH.write_text(json.dumps(data, indent=1))
+    print(json.dumps(entry))
+
+
+def report():
+    data = json.loads(JSON_PATH.read_text())
+    lines = [
+        "# PARITY — the five reference demo workloads, self-measured",
+        "",
+        "Configs replicate the reference demos exactly (docstrings in",
+        "`benchmarks/parity.py` cite file:line). Moment parity is the",
+        "trained flow's per-coordinate mean/std vs exact target samples",
+        f"({N_MOMENT} draws each); `mc_sem` is the Monte-Carlo standard",
+        "error of those estimates — the parity yardstick.",
+        "",
+        "| workload | iters | ELBO before → after | iters/s |"
+        " max |Δmean| | max |Δstd| | MC sem | device |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for k in WORKLOADS:
+        if k not in {e.split("_")[0] for e in data} and not any(
+            v["workload"].startswith(k) for v in data.values()
+        ):
+            continue
+        v = next(v for v in data.values() if v["workload"].startswith(k))
+        lines.append(
+            f"| {v['workload']} | {v['iters']} | {v['elbo_before']} → "
+            f"{v['elbo_after']} | {v['iters_per_s']} | "
+            f"{v['max_abs_mean_err']} | {v['max_abs_std_err']} | "
+            f"{v['mc_sem']} | {v['device']} |"
+        )
+    MD_PATH.write_text("\n".join(lines) + "\n")
+    print(MD_PATH.read_text())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", choices=[*WORKLOADS, "all"], default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--quick", action="store_true",
+                   help="CI-speed iteration counts")
+    p.add_argument("--report", action="store_true")
+    a = p.parse_args()
+
+    if a.report:
+        report()
+        return
+    names = list(WORKLOADS) if a.workload in (None, "all") else [a.workload]
+    for name in names:
+        fn, full, quick = WORKLOADS[name]
+        iters = a.iters or (quick if a.quick else full)
+        save(fn(iters))
+
+
+if __name__ == "__main__":
+    main()
