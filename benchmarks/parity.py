@@ -46,7 +46,8 @@ def _moments(samples):
 
 
 def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
-         optimizer, max_iters, check_every, seed=123, dtype=jnp.float32):
+         optimizer, max_iters, check_every, seed=123, dtype=jnp.float32,
+         project=None):
     key = jax.random.key(seed)
     ke, kt, km1, km2 = jax.random.split(key, 4)
 
@@ -65,6 +66,8 @@ def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
     flow_samples = jax.jit(
         lambda k: res.flow.sample(k, (N_MOMENT,))
     )(km1)
+    if project is not None:
+        flow_samples = project(flow_samples)
     target_samples = target_sampler(km2, N_MOMENT)
     fm, fs = _moments(flow_samples)
     tm, ts = _moments(target_samples)
@@ -160,18 +163,10 @@ def hamiltonian(iters):
         # compare x-marginal moments only; momenta are exactly N(0, I)
         return t.sample(k, (n,))
 
-    out = _run("hamiltonian_funnel", flow, lp, sample_joint_x, nf.elbo, 16,
-               optax.adam(3e-4), iters, max(iters // 10, 1), dtype=dtype)
-    # the flow lives on the 2d joint space: keep only the x block's moments
-    for f in ("mean_flow", "std_flow"):
-        out[f] = out[f][:dim]
-    out["max_abs_mean_err"] = round(
-        max(abs(a - b) for a, b in zip(out["mean_flow"],
-                                       out["mean_target"])), 4)
-    out["max_abs_std_err"] = round(
-        max(abs(a - b) for a, b in zip(out["std_flow"],
-                                       out["std_target"])), 4)
-    return out
+    # the flow lives on the 2d joint space: compare the x block's moments
+    return _run("hamiltonian_funnel", flow, lp, sample_joint_x, nf.elbo, 16,
+                optax.adam(3e-4), iters, max(iters // 10, 1), dtype=dtype,
+                project=lambda s: s[:, :dim])
 
 
 WORKLOADS = {
@@ -219,6 +214,28 @@ def report():
             f"{v['max_abs_mean_err']} | {v['max_abs_std_err']} | "
             f"{v['mc_sem']} | {v['device']} |"
         )
+    lines += [
+        "",
+        "Reading the numbers:",
+        "",
+        "- The primary parity metric is the final ELBO: for a normalized",
+        "  target it equals −KL(q‖p), so values near 0 mean the flow matches",
+        "  the target. The reference publishes no numbers (BASELINE.md);",
+        "  these self-measured values are the baseline for future rounds.",
+        "- Reverse-KL training is mode-seeking: on the HARD banana",
+        "  (var=100) the flow concentrates on the density crown, so sample",
+        "  moments legitimately differ from the full-target moments even at",
+        "  ELBO ≈ −0.5 nats. The easy/radial workloads show tight moment",
+        "  parity. This matches the reference's own objective/config",
+        "  (`example/demo_RealNVP.jl:20-61`) — not an implementation gap.",
+        "- The Hamiltonian workload trains per-dim leapfrog step sizes on a",
+        "  chaotic dynamic (reference `demo_hamiltonian_flow.jl:107`); the",
+        "  16-sample per-iteration ELBO is heavy-tailed and improvements",
+        "  are marginal by construction (the reference CI clamps it to",
+        "  10–100 iters).",
+        "- `iters/s` includes jit compilation and host chunk boundaries;",
+        "  bench.py reports the pure device-side step rate.",
+    ]
     MD_PATH.write_text("\n".join(lines) + "\n")
     print(MD_PATH.read_text())
 
