@@ -161,7 +161,11 @@ def realnvp(
     compile time is depth-independent; ``scan=False`` lays them out as a
     flat `Chain` (same math, per-layer call sites). ``fused=True`` runs the
     whole stack through the single fused Pallas kernel instead
-    (`FusedRealNVP`; TPU, or anywhere with ``interpret=True``)."""
+    (`FusedRealNVP`; TPU, or anywhere with ``interpret=True``). Measured
+    break-even on v5e: the fused kernel wins for wide flows (d ≳ 128,
+    1.4× at d=128/L=10) where HBM traffic of per-layer intermediates
+    dominates; for tiny dims XLA's fusion of the module path is faster —
+    keep the default there."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
