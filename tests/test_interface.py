@@ -115,3 +115,19 @@ def test_optimize_generic(key):
     res = nf.optimize(key, loss, params, max_iters=2000,
                       optimizer=optax.adam(1e-1))
     assert np.allclose(np.asarray(res.flow["w"]), 1.0, atol=1e-2)
+
+def test_unroll_matches_unrolled_trajectory(key):
+    """`unroll` is a pure scheduling knob: same keys → same loss trajectory
+    (up to fusion reassociation roundoff)."""
+    target = nf.Banana(2, 1.0, 10.0)
+    flow = nf.realnvp(key, 2, (8, 8), nlayers=2)
+
+    def run(unroll):
+        return nf.train_flow(
+            jax.random.key(5), nf.elbo_batch, flow, target.log_prob, 8,
+            max_iters=64, optimizer=optax.adam(1e-3),
+            check_every=32, unroll=unroll,
+        ).stats["loss"]
+
+    l1, l8 = run(1), run(8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
