@@ -6,6 +6,11 @@ iteration counts are hostile to XLA (dynamic control flow), so here the
 solve is a FIXED-iteration bisection bracket followed by Newton polish —
 fully vectorized over the batch on the VPU, jit/vmap/grad-safe.
 
+Differentiation is IMPLICIT (`lax.custom_root`): the backward pass applies
+the implicit-function theorem ∂x/∂θ = −(∂f/∂θ)/(∂f/∂x) at the root instead
+of unrolling the 40+ solver iterations through reverse AD — no per-iteration
+residuals are stored and the gradient is exact at the converged root.
+
 `f` must be elementwise monotone increasing on the bracket [lo, hi] with
 f(lo) <= 0 <= f(hi).
 """
@@ -37,25 +42,31 @@ def solve_monotone(
     lo = jnp.asarray(lo)
     hi = jnp.asarray(hi)
 
-    def bisect_body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        fm = f(mid)
-        take_upper = fm < 0
-        lo = jnp.where(take_upper, mid, lo)
-        hi = jnp.where(take_upper, hi, mid)
-        return lo, hi
+    def _solve(fn, x0):
+        del x0  # the static bracket is a better start than custom_root's
 
-    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo, hi))
-    x = 0.5 * (lo + hi)
+        def bisect_body(_, carry):
+            a, b = carry
+            mid = 0.5 * (a + b)
+            take_upper = fn(mid) < 0
+            a = jnp.where(take_upper, mid, a)
+            b = jnp.where(take_upper, b, mid)
+            return a, b
 
-    def newton_body(_, x):
-        fx, dfx = jax.jvp(f, (x,), (jnp.ones_like(x),))
-        step = fx / jnp.where(dfx > 0, dfx, jnp.ones_like(dfx))
-        x_new = x - step
-        # keep the iterate inside the bracket; fall back to x if not finite
-        x_new = jnp.clip(x_new, lo, hi)
-        return jnp.where(jnp.isfinite(x_new), x_new, x)
+        a, b = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo, hi))
+        x = 0.5 * (a + b)
 
-    x = jax.lax.fori_loop(0, newton_iters, newton_body, x)
-    return x
+        def newton_body(_, x):
+            fx, dfx = jax.jvp(fn, (x,), (jnp.ones_like(x),))
+            step = fx / jnp.where(dfx > 0, dfx, jnp.ones_like(dfx))
+            x_new = jnp.clip(x - step, a, b)
+            return jnp.where(jnp.isfinite(x_new), x_new, x)
+
+        return jax.lax.fori_loop(0, newton_iters, newton_body, x)
+
+    def _tangent_solve(g, y):
+        # g is the linearization of f at the root, elementwise scalar:
+        # solve g(x) = y  ⇒  x = y / g(1)
+        return y / g(jnp.ones_like(y))
+
+    return jax.lax.custom_root(f, 0.5 * (lo + hi), _solve, _tangent_solve)
