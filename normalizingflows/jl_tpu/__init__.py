@@ -62,6 +62,7 @@ from .models.targets import Banana, Cross, Funnel, GaussianMixture, WarpedGauss
 from .objectives import (
     elbo,
     elbo_batch,
+    elbo_iw,
     elbo_single_sample,
     elbo_stl,
     loglikelihood,
@@ -92,7 +93,8 @@ __all__ = [
     # targets
     "Banana", "Cross", "Funnel", "GaussianMixture", "WarpedGauss",
     # objectives
-    "elbo", "elbo_batch", "elbo_single_sample", "elbo_stl", "loglikelihood",
+    "elbo", "elbo_batch", "elbo_iw", "elbo_single_sample", "elbo_stl",
+    "loglikelihood",
     # training
     "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
 ]

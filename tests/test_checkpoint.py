@@ -67,3 +67,19 @@ def test_leaf_count_mismatch_raises(tmp_path, key):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "shape" in str(e) or "leaves" in str(e)
+
+
+def test_orbax_backend_roundtrip(tmp_path, key):
+    """The orbax backend (multi-host path) round-trips identically."""
+    flow = nf.realnvp(key, 3, (8, 8), nlayers=2)
+    path = str(tmp_path / "ckpt_orbax")
+    save_pytree(path, flow, backend="orbax")
+
+    template = nf.realnvp(jax.random.key(99), 3, (8, 8), nlayers=2)
+    restored = load_pytree(path, template, backend="orbax")
+
+    x = jax.random.normal(jax.random.key(1), (10, 3))
+    y0, ld0 = flow.bijector.forward_and_log_det(x)
+    y1, ld1 = restored.bijector.forward_and_log_det(x)
+    np.testing.assert_allclose(y1, y0)
+    np.testing.assert_allclose(ld1, ld0)

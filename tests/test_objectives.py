@@ -94,3 +94,41 @@ def test_stl_gradient_zero_at_optimum(key):
     g_plain = apply_mask(jax.grad(plain_loss)(flow), mask)
     assert float(global_norm(g_stl)) < 1e-8
     assert float(global_norm(g_plain)) > 1e-3
+
+
+def test_elbo_iw_zero_for_exact_flow(key, dtype):
+    """When flow ≡ target every importance weight is exactly 1, so the
+    IW bound is 0 for any K."""
+    flow, target = _exact_flow_and_target(dtype)
+    for k_particles in (1, 4):
+        val = nf.elbo_iw(key, flow, target.log_prob, 10,
+                         n_particles=k_particles)
+        assert abs(float(val)) <= 1e-5, k_particles
+
+
+def test_elbo_iw_tighter_than_elbo(key):
+    """IW bound with K>1 is (in expectation) tighter — i.e. larger —
+    than the K=1 ELBO for a mismatched flow; K=1 reduces to elbo_batch."""
+    dtype = jnp.float64
+    flow, target = _exact_flow_and_target(dtype)
+    # perturb the flow so the bound gap is nonzero
+    flow = nf.TransformedDistribution(
+        flow.base,
+        nf.chain(flow.bijector, nf.Shift(jnp.asarray([0.8, -0.6], dtype))),
+    )
+    n = 4096
+    k1 = float(nf.elbo_iw(key, flow, target.log_prob, n, n_particles=1))
+    base = float(nf.elbo_batch(key, flow, target.log_prob, n))
+    k16 = float(nf.elbo_iw(key, flow, target.log_prob, n, n_particles=16))
+    assert k16 > k1 + 1e-3
+    # K=1 is the plain ELBO estimator (same math, same magnitude)
+    assert abs(k1 - base) < 0.1
+
+
+def test_elbo_iw_gradient_finite(key):
+    flow, target = _exact_flow_and_target(jnp.float32)
+    g = jax.grad(
+        lambda f: -nf.elbo_iw(key, f, target.log_prob, 8, n_particles=4)
+    )(flow)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert jnp.all(jnp.isfinite(leaf))
