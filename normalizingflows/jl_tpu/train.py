@@ -23,6 +23,7 @@ Reference: `src/NormalizingFlows.jl:51-86` (train_flow) driving
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -75,6 +76,8 @@ def train_flow(
     check_every: int = 100,
     unroll: int = 1,
     resume_state: TrainState | None = None,
+    scan_inputs: Callable[[jax.Array, TransformedDistribution, int], Any]
+    | None = None,
 ) -> TrainResult:
     """Train a flow by maximizing ``objective(key, flow, *args)``.
 
@@ -87,8 +90,18 @@ def train_flow(
     (`src/optimize.jl:103`). Callback/convergence checks run every
     ``check_every`` iterations (chunk boundary) rather than every iteration
     — the price of keeping the hot loop on-device.
+
+    ``scan_inputs(chunk_key, flow, chunk) -> pytree`` customizes the
+    per-step scan input (leading axis = chunk); the objective is called as
+    ``objective(input_i, flow, *args)``. Default: split ``chunk_key`` into
+    per-step PRNG keys. Pass `objectives.presample_base(n)` (with the
+    `elbo_from_samples` objective) to hoist base sampling out of the hot
+    loop into one fused chunk-level RNG op. Generation happens INSIDE the
+    jitted chunk, so it fuses with the scan either way.
     """
     optimizer = optimizer or _default_optimizer()
+    if scan_inputs is None:
+        scan_inputs = lambda k, f, n: jax.random.split(k, n)  # noqa: E731
 
     frozen_pred = None if train_base else (lambda m: m is flow.base)
     mask = trainable_mask(flow, frozen=frozen_pred)
@@ -101,25 +114,26 @@ def train_flow(
         opt_state = optimizer.init(flow)
         start_iter = 0
 
-    def loss_fn(f, k):
-        return -objective(k, f, *args)
+    def loss_fn(f, inp):
+        return -objective(inp, f, *args)
 
-    def train_step(carry, it_key):
+    def train_step(carry, inp):
         f, st = carry
-        loss_val, grads = jax.value_and_grad(loss_fn)(f, it_key)
+        loss_val, grads = jax.value_and_grad(loss_fn)(f, inp)
         grads = apply_mask(grads, mask)
         gnorm = global_norm(grads)
         updates, st = optimizer.update(grads, st, f)
         f = optax.apply_updates(f, updates)
         return (f, st), (loss_val, gnorm)
 
-    @jax.jit
-    def run_chunk(f, st, keys):
+    @partial(jax.jit, static_argnums=3)
+    def run_chunk(f, st, chunk_key, chunk):
         # unroll>1 lets XLA fuse across steps — worth ~25-30% on
         # latency-bound small-model workloads (the reference demo configs);
         # costs compile time on big flows, so default is 1.
+        inputs = scan_inputs(chunk_key, f, chunk)
         (f, st), (losses, gnorms) = jax.lax.scan(
-            train_step, (f, st), keys, unroll=unroll
+            train_step, (f, st), inputs, unroll=unroll
         )
         return f, st, losses, gnorms
 
@@ -133,8 +147,9 @@ def train_flow(
     while it < start_iter + max_iters and not converged:
         chunk = min(check_every, start_iter + max_iters - it)
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, chunk)
-        flow, opt_state, losses, gnorms = run_chunk(flow, opt_state, keys)
+        flow, opt_state, losses, gnorms = run_chunk(
+            flow, opt_state, sub, chunk
+        )
         losses = np.asarray(losses)
         gnorms = np.asarray(gnorms)
         all_loss.append(losses)
