@@ -18,9 +18,14 @@ Layout & mapping:
   * block loop is a `fori_loop` with dynamic indexing into the stacked
     weight refs; within a block: even-mask coupling then odd-mask coupling
     (`RealNVP_layer`, reference `realnvp.jl:132-145`).
-  * backward = recompute-forward + `jax.vjp` INSIDE a second kernel
-    (flops traded for HBM traffic; no residuals materialize), exposed via
-    `jax.custom_vjp`.
+  * backward = recompute-forward + a HAND-WRITTEN reverse sweep INSIDE a
+    second kernel (flops traded for HBM traffic; no residuals
+    materialize), exposed via `jax.custom_vjp`. The backward must be
+    manual: `jax.vjp` inside the kernel emits `add_any` cotangent
+    accumulations that Mosaic fuses into `vector.multi_reduction` ops
+    with non-constant accumulators, which it refuses to compile
+    ("only constant accumulators supported") — explicit matmuls + adds
+    lower cleanly.
 
 Weight pytree convention (see `models/coupling.py::FusedRealNVP`): two
 coupling groups ('even', 'odd'); each group is a dict of stacked Dense
@@ -158,6 +163,90 @@ def _fwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
     ld_ref[:, 0] = ld
 
 
+def _mlp_fwd_cache(xb, weights, out_tanh):
+    """_mlp with residuals: (out, (layer_inputs, layer_outputs))."""
+    h = xb
+    depth = len(weights)
+    inputs, outputs = [], []
+    for li, (W, b) in enumerate(weights):
+        inputs.append(h)
+        z = _dot(h, W) + b
+        if li < depth - 1:
+            h = _leaky_relu(z)
+        elif out_tanh:
+            h = jnp.tanh(z)
+        else:
+            h = z
+        outputs.append(h)
+    return h, (inputs, outputs)
+
+
+def _mlp_bwd(weights, cache, gout, out_tanh):
+    """Manual reverse sweep of `_mlp`. Returns (g_input, [(gW, gb), ...]).
+
+    Activation derivatives are reconstructed from the cached POST-
+    activations: leaky-relu slope = 1 where h > 0 else 0.01 (h and z share
+    sign); tanh' = 1 - h^2."""
+    inputs, outputs = cache
+    depth = len(weights)
+    g = gout
+    gws = [None] * depth
+    for li in range(depth - 1, -1, -1):
+        h = outputs[li]
+        if li == depth - 1:
+            if out_tanh:
+                g = g * (1.0 - h * h)
+        else:
+            g = g * jnp.where(h >= 0, h * 0 + 1.0, h * 0 + 0.01)
+        W, _ = weights[li]
+        gW = _dot(inputs[li].T, g)
+        gb = jnp.sum(g, axis=0)
+        gws[li] = (gW, gb)
+        g = _dot(g, W.T)
+    return g, gws
+
+
+def _coupling_fwd_cache(x, ld, sel_a, sel_b, s_w, t_w, inverse):
+    """`_apply_coupling` keeping the residuals the reverse sweep needs."""
+    x_a = _dot(x, sel_a)
+    x_b = _dot(x, sel_b)
+    s, cs = _mlp_fwd_cache(x_b, s_w, out_tanh=True)
+    t, ct = _mlp_fwd_cache(x_b, t_w, out_tanh=False)
+    if inverse:
+        y_a = (x_a - t) * jnp.exp(-s)
+        ld = ld - jnp.sum(s, axis=-1)
+    else:
+        y_a = x_a * jnp.exp(s) + t
+        ld = ld + jnp.sum(s, axis=-1)
+    y = _dot(y_a, sel_a.T) + _dot(x_b, sel_b.T)
+    return y, ld, (x_a, s, t, cs, ct)
+
+
+def _coupling_bwd(g, gld, cache, sel_a, sel_b, s_w, t_w, inverse):
+    """Reverse sweep of one coupling. `g` is the cotangent of y, `gld` the
+    (TILE,) cotangent of the running log-det (which every coupling's s
+    receives, since ld is a plain sum over couplings)."""
+    x_a, s, t, cs, ct = cache
+    g_ya = _dot(g, sel_a)
+    g_xb = _dot(g, sel_b)
+    gld_b = jnp.broadcast_to(gld[:, None], s.shape)
+    if inverse:
+        e = jnp.exp(-s)
+        g_xa = g_ya * e
+        g_t = -g_xa
+        g_s = -g_ya * (x_a - t) * e - gld_b
+    else:
+        e = jnp.exp(s)
+        g_xa = g_ya * e
+        g_t = g_ya
+        g_s = g_ya * x_a * e + gld_b
+    gxb_s, gws_s = _mlp_bwd(s_w, cs, g_s, out_tanh=True)
+    gxb_t, gws_t = _mlp_bwd(t_w, ct, g_t, out_tanh=False)
+    g_xb = g_xb + gxb_s + gxb_t
+    gx = _dot(g_xa, sel_a.T) + _dot(g_xb, sel_b.T)
+    return gx, gws_s, gws_t
+
+
 def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
     n_w = tree_def.num_leaves
     w_refs = refs[:n_w]
@@ -165,24 +254,82 @@ def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
     gx_ref = refs[n_w + 2]
     gw_refs = refs[n_w + 3:]
 
-    def fn(x, flat_w):
-        return _tile_flow(
-            x, flat_w, tree_def=tree_def, sels=sels, n_blocks=n_blocks,
-            depth=depth, inverse=inverse,
+    groups = jax.tree_util.tree_unflatten(tree_def, [r[:] for r in w_refs])
+    x = x_ref[:]
+    d = x.shape[-1]
+    idx_e, comp_e, idx_o, comp_o = sels
+    sel_ae = _sel_matrix(d, idx_e, x.dtype)
+    sel_be = _sel_matrix(d, comp_e, x.dtype)
+    sel_ao = _sel_matrix(d, idx_o, x.dtype)
+    sel_bo = _sel_matrix(d, comp_o, x.dtype)
+
+    def block_weights(i):
+        def at(pair):
+            W, b = pair
+            return W[i], b[i]
+        return (
+            [at(p) for p in groups["even"]["s"]],
+            [at(p) for p in groups["even"]["t"]],
+            [at(p) for p in groups["odd"]["s"]],
+            [at(p) for p in groups["odd"]["t"]],
         )
 
-    _, vjp = jax.vjp(fn, x_ref[:], [r[:] for r in w_refs])
-    gx, gws = vjp((gy_ref[:], gld_ref[:, 0]))
-    gx_ref[:] = gx
-    for ref, g in zip(gw_refs, gws):
+    # recompute-forward, caching per-coupling residuals (order = exactly
+    # the order `_tile_flow` applies couplings for this `inverse` flag)
+    ld = x[:, 0] * 0
+    caches = []  # (block_idx, group, sel_a, sel_b, s_w, t_w, cache)
+    order = range(n_blocks - 1, -1, -1) if inverse else range(n_blocks)
+    for i in order:
+        es, et, osw, otw = block_weights(i)
+        if not inverse:
+            pairs = ((i, "even", sel_ae, sel_be, es, et),
+                     (i, "odd", sel_ao, sel_bo, osw, otw))
+        else:
+            pairs = ((i, "odd", sel_ao, sel_bo, osw, otw),
+                     (i, "even", sel_ae, sel_be, es, et))
+        for (bi, grp, sa, sb, sw, tw) in pairs:
+            x, ld, cache = _coupling_fwd_cache(x, ld, sa, sb, sw, tw,
+                                               inverse)
+            caches.append((bi, grp, sa, sb, sw, tw, cache))
+
+    # reverse sweep
+    g = gy_ref[:]
+    gld = gld_ref[:, 0]
+    # per-leaf-position per-block weight grads
+    gmap = {("even", "s"): {}, ("even", "t"): {},
+            ("odd", "s"): {}, ("odd", "t"): {}}
+    for (bi, grp, sa, sb, sw, tw, cache) in reversed(caches):
+        g, gws_s, gws_t = _coupling_bwd(g, gld, cache, sa, sb, sw, tw,
+                                        inverse)
+        gmap[(grp, "s")][bi] = gws_s
+        gmap[(grp, "t")][bi] = gws_t
+    gx_ref[:] = g
+
+    # assemble stacked weight grads in the SAME pytree structure as the
+    # inputs, so flattening yields the gw_refs order
+    def stacked(grp, net):
+        per_block = gmap[(grp, net)]
+        out = []
+        for li in range(depth):
+            gW = jnp.stack([per_block[i][li][0] for i in range(n_blocks)])
+            gb = jnp.stack([per_block[i][li][1] for i in range(n_blocks)])
+            out.append((gW, gb))
+        return out
+
+    g_groups = {
+        "even": {"s": stacked("even", "s"), "t": stacked("even", "t")},
+        "odd": {"s": stacked("odd", "s"), "t": stacked("odd", "t")},
+    }
+    gws = jax.tree_util.tree_leaves(g_groups)
+    for ref, gw in zip(gw_refs, gws):
         # accumulate weight grads over grid steps (batch tiles)
         @pl.when(pl.program_id(0) == 0)
-        def _init(ref=ref, g=g):
-            ref[:] = g
+        def _init(ref=ref, gw=gw):
+            ref[:] = gw
 
         @pl.when(pl.program_id(0) != 0)
-        def _acc(ref=ref, g=g):
-            ref[:] = ref[:] + g
+        def _acc(ref=ref, gw=gw):
+            ref[:] = ref[:] + gw
 
 
 def _pad_rows(a, n_pad):
