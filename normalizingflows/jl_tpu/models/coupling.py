@@ -162,10 +162,13 @@ def realnvp(
     flat `Chain` (same math, per-layer call sites). ``fused=True`` runs the
     whole stack through the single fused Pallas kernel instead
     (`FusedRealNVP`; TPU, or anywhere with ``interpret=True``). Measured
-    break-even on v5e: the fused kernel wins for wide flows (d ≳ 128,
-    1.4× at d=128/L=10) where HBM traffic of per-layer intermediates
-    dominates; for tiny dims XLA's fusion of the module path is faster —
-    keep the default there."""
+    on a real v5e (benchmarks/kernels.py, recorded in
+    benchmarks/KERNELS.md): the fused kernel wins the forward/sampling
+    path at small dims (2.1× at d=2/L=3, batch 4096) where per-layer HBM
+    round-trips dominate; for TRAINING, XLA's autodiff of the module path
+    is faster at every size measured (the hand-written backward must run
+    full-f32 matmuls and is VMEM-capped on wide flows) — keep the default
+    ``fused=False`` for training."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim

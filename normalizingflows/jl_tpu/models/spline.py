@@ -50,6 +50,8 @@ class NeuralSplineCoupling(Bijector):
     # 'auto' → fused Pallas kernel on TPU, jnp oracle elsewhere;
     # 'oracle' / 'pallas' force a path (tests pin them against each other)
     backend: str = static_field(default="auto")
+    # run the Pallas path in interpret mode (for backend='pallas' off-TPU)
+    interpret: bool = static_field(default=False)
 
     @staticmethod
     def make(
@@ -61,11 +63,12 @@ class NeuralSplineCoupling(Bijector):
         mask_idx: Sequence[int],
         dtype=jnp.float32,
         backend: str = "auto",
+        interpret: bool = False,
     ) -> "NeuralSplineCoupling":
         mask = PartitionMask.make(dim, mask_idx)
         n_t = mask.n_transformed
         nn = fnn(key, dim - n_t, hdims, (3 * K - 1) * n_t, dtype=dtype)
-        return NeuralSplineCoupling(nn, K, float(B), mask, backend)
+        return NeuralSplineCoupling(nn, K, float(B), mask, backend, interpret)
 
     def _use_pallas(self) -> bool:
         if self.backend == "auto":
@@ -81,7 +84,8 @@ class NeuralSplineCoupling(Bijector):
     def _transform(self, v: jax.Array, cond: jax.Array, inverse: bool):
         raw = self._raw(cond)
         if self._use_pallas():
-            return rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse)
+            return rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse,
+                                        interpret=self.interpret)
         xs, ys, ds = rqs.rqs_params_from_raw(raw, self.B)
         fn = rqs.rqs_inverse if inverse else rqs.rqs_forward
         return fn(v, xs, ys, ds)
@@ -105,14 +109,15 @@ def NSF_layer(
     B: float,
     dtype=jnp.float32,
     backend: str = "auto",
+    interpret: bool = False,
 ) -> list[NeuralSplineCoupling]:
     """One NSF block: two spline couplings with complementary masks
     (reference `neuralspline.jl:169-184`)."""
     k1, k2 = jax.random.split(key)
     c1 = NeuralSplineCoupling.make(k1, dim, hdims, K, B, range(0, dim, 2),
-                                   dtype, backend)
+                                   dtype, backend, interpret)
     c2 = NeuralSplineCoupling.make(k2, dim, hdims, K, B, range(1, dim, 2),
-                                   dtype, backend)
+                                   dtype, backend, interpret)
     return [c1, c2]
 
 
@@ -126,16 +131,19 @@ def nsf(
     dtype=jnp.float32,
     backend: str = "auto",
     scan: bool = True,
+    interpret: bool = False,
 ) -> TransformedDistribution:
     """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
 
     ``scan=True`` stacks the blocks into a `Repeated` lax.scan — one Pallas
-    kernel call site regardless of depth (depth-independent compile)."""
+    kernel call site regardless of depth (depth-independent compile).
+    ``interpret=True`` runs the ``backend='pallas'`` path in Pallas interpret
+    mode so it works off-TPU (numerics cross-checks on CPU)."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
     blocks = [
-        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend))
+        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret))
         for k in jax.random.split(key, nlayers)
     ]
     if scan and nlayers > 1:

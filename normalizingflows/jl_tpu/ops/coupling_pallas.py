@@ -274,10 +274,14 @@ def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
             [at(p) for p in groups["odd"]["t"]],
         )
 
-    # recompute-forward, caching per-coupling residuals (order = exactly
-    # the order `_tile_flow` applies couplings for this `inverse` flag)
-    ld = x[:, 0] * 0
-    caches = []  # (block_idx, group, sel_a, sel_b, s_w, t_w, cache)
+    # recompute-forward, caching ONLY each coupling's (tile, d) input (the
+    # order = exactly the order `_tile_flow` applies couplings for this
+    # `inverse` flag). MLP activations are recomputed one coupling at a time
+    # in the reverse sweep below, so peak VMEM is O(couplings · d) rows of
+    # cache + ONE coupling's activations — not O(couplings · hidden), which
+    # blows the 16 MiB scoped-vmem stack for wide flows (d≈128, h≈128).
+    ld0 = x[:, 0] * 0
+    inputs = []  # (block_idx, group, sel_a, sel_b, s_w, t_w, x_in)
     order = range(n_blocks - 1, -1, -1) if inverse else range(n_blocks)
     for i in order:
         es, et, osw, otw = block_weights(i)
@@ -288,48 +292,41 @@ def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
             pairs = ((i, "odd", sel_ao, sel_bo, osw, otw),
                      (i, "even", sel_ae, sel_be, es, et))
         for (bi, grp, sa, sb, sw, tw) in pairs:
-            x, ld, cache = _coupling_fwd_cache(x, ld, sa, sb, sw, tw,
-                                               inverse)
-            caches.append((bi, grp, sa, sb, sw, tw, cache))
+            inputs.append((bi, grp, sa, sb, sw, tw, x))
+            x, _ = _apply_coupling(x, ld0, sa, sb, sw, tw, inverse)
 
-    # reverse sweep
+    # reverse sweep: per coupling, rebuild its MLP caches from the saved
+    # input, run the manual backward, and write each weight-grad slice
+    # STRAIGHT into its stacked output ref (block index is a static Python
+    # int). No gmap/jnp.stack assembly — that would keep a second
+    # weights-worth of temporaries live and blow scoped VMEM on wide flows.
+    # `leaf_idx[grp][net][li]` = (iW, ib) positions in the flattened order.
+    leaf_idx = jax.tree_util.tree_unflatten(
+        tree_def, list(range(tree_def.num_leaves))
+    )
+
+    def write_grads(grp, net, bi, gws):
+        for li, (gW, gb) in enumerate(gws):
+            iW, ib = leaf_idx[grp][net][li]
+            for ref, val in ((gw_refs[iW], gW), (gw_refs[ib], gb)):
+                # accumulate over grid steps (batch tiles)
+                @pl.when(pl.program_id(0) == 0)
+                def _init(ref=ref, val=val, bi=bi):
+                    ref[bi] = val
+
+                @pl.when(pl.program_id(0) != 0)
+                def _acc(ref=ref, val=val, bi=bi):
+                    ref[bi] = ref[bi] + val
+
     g = gy_ref[:]
     gld = gld_ref[:, 0]
-    # per-leaf-position per-block weight grads
-    gmap = {("even", "s"): {}, ("even", "t"): {},
-            ("odd", "s"): {}, ("odd", "t"): {}}
-    for (bi, grp, sa, sb, sw, tw, cache) in reversed(caches):
+    for (bi, grp, sa, sb, sw, tw, x_in) in reversed(inputs):
+        _, _, cache = _coupling_fwd_cache(x_in, ld0, sa, sb, sw, tw, inverse)
         g, gws_s, gws_t = _coupling_bwd(g, gld, cache, sa, sb, sw, tw,
                                         inverse)
-        gmap[(grp, "s")][bi] = gws_s
-        gmap[(grp, "t")][bi] = gws_t
+        write_grads(grp, "s", bi, gws_s)
+        write_grads(grp, "t", bi, gws_t)
     gx_ref[:] = g
-
-    # assemble stacked weight grads in the SAME pytree structure as the
-    # inputs, so flattening yields the gw_refs order
-    def stacked(grp, net):
-        per_block = gmap[(grp, net)]
-        out = []
-        for li in range(depth):
-            gW = jnp.stack([per_block[i][li][0] for i in range(n_blocks)])
-            gb = jnp.stack([per_block[i][li][1] for i in range(n_blocks)])
-            out.append((gW, gb))
-        return out
-
-    g_groups = {
-        "even": {"s": stacked("even", "s"), "t": stacked("even", "t")},
-        "odd": {"s": stacked("odd", "s"), "t": stacked("odd", "t")},
-    }
-    gws = jax.tree_util.tree_leaves(g_groups)
-    for ref, gw in zip(gw_refs, gws):
-        # accumulate weight grads over grid steps (batch tiles)
-        @pl.when(pl.program_id(0) == 0)
-        def _init(ref=ref, gw=gw):
-            ref[:] = gw
-
-        @pl.when(pl.program_id(0) != 0)
-        def _acc(ref=ref, gw=gw):
-            ref[:] = ref[:] + gw
 
 
 def _pad_rows(a, n_pad):
@@ -370,27 +367,65 @@ def _call_fwd(x, flat_w, static, interpret):
     return y[:n], ld[:n, 0]
 
 
+def _bwd_tile(d, flat_w, tree_def, itemsize):
+    """Largest batch tile whose backward residual cache fits scoped VMEM.
+
+    The reverse kernel holds every coupling's (tile, d) INPUT plus one
+    coupling's recomputed MLP activations live at once; the footprint is
+    per-row-linear, so shrink the tile until it fits the ~16 MiB
+    scoped-vmem stack (with headroom for weights/grads and Mosaic
+    temporaries)."""
+    groups = jax.tree_util.tree_unflatten(tree_def, flat_w)
+    n_blocks = flat_w[0].shape[0]
+    # x, gy, g, gx + saved per-coupling inputs + logdet columns / slack
+    per_row = 4 * d + 8 + 2 * n_blocks * d
+    weight_floats = 0
+    max_cache = 0
+    for grp in ("even", "odd"):
+        c = groups[grp]["s"][-1][0].shape[2]  # n transformed
+        floats = 3 * c  # x_a, s, t
+        for net in ("s", "t"):
+            for (W, b) in groups[grp][net]:
+                floats += W.shape[1] + W.shape[2]  # cached in + out per layer
+                weight_floats += W.shape[0] * W.shape[1] * W.shape[2]
+                weight_floats += b.shape[0] * b.shape[1]
+        max_cache = max(max_cache, floats)  # one coupling live at a time
+    per_row += max_cache + 2 * d  # + double-buffered x/gy input blocks
+    # Mosaic's stack allocator does NOT fully reuse slots across the
+    # unrolled coupling sweep (measured on v5e: ~4× the ideal live-set
+    # model at d=128, L=6, h=128), so scale the per-row model accordingly.
+    per_row *= 4
+    # weights in + grad refs out (grad slices write in place, no stack temp)
+    fixed = 3 * weight_floats * itemsize
+    budget = 14 * 1024 * 1024 - fixed  # headroom under the 16 MiB scoped cap
+    tile = TILE
+    while tile > 8 and tile * per_row * itemsize > budget:
+        tile //= 2
+    return max(tile, 8)
+
+
 def _call_bwd(x, flat_w, gy, gld, static, interpret):
     n, d = x.shape
-    n_pad = (-n) % TILE
+    tile = _bwd_tile(d, flat_w, static["tree_def"], x.dtype.itemsize)
+    n_pad = (-n) % tile
     xp = _pad_rows(x, n_pad)
     gyp = _pad_rows(gy, n_pad)
     gldp = _pad_rows(gld[:, None], n_pad)
-    grid = (xp.shape[0] // TILE,)
+    grid = (xp.shape[0] // tile,)
     kern = functools.partial(_bwd_kernel, **static)
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [_weight_spec(a) for a in flat_w]
         + [
-            pl.BlockSpec((TILE, d), lambda i: (i, 0),
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((TILE, d), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((tile, d), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)]
         + [_weight_spec(a) for a in flat_w],
         out_shape=[jax.ShapeDtypeStruct(xp.shape, x.dtype)]
@@ -455,6 +490,18 @@ def coupling_stack_fused(
 
     flat_w, tree_def = jax.tree_util.tree_flatten(groups)
     n_blocks = flat_w[0].shape[0]
+    depths = {
+        (grp, net): len(groups[grp][net])
+        for grp in ("even", "odd")
+        for net in ("s", "t")
+    }
+    if len(set(depths.values())) != 1:
+        # the kernel assembles stacked weight grads with one shared depth;
+        # asymmetric conditioners must fail loudly at the API boundary
+        raise ValueError(
+            "coupling_stack_fused requires all four conditioner stacks "
+            f"(even/odd × s/t) to share the same depth; got {depths}"
+        )
     depth = len(groups["even"]["s"])
     y, ld = _fused(
         x2, flat_w, tree_def, (idx_even, comp_even, idx_odd, comp_odd),
