@@ -43,13 +43,51 @@ SAMPLE_BATCH = 262144  # TPU-saturating batch for samples/s
 LR = 5e-4
 
 
-def build():
+def build(fused=False):
     # jit-construct so init math runs on-device (one transfer, not per-leaf)
     flow = jax.jit(
-        lambda k: nf.realnvp(k, DIM, HDIMS, nlayers=NLAYERS)
+        lambda k: nf.realnvp(k, DIM, HDIMS, nlayers=NLAYERS, fused=fused)
     )(jax.random.key(0))
     target = nf.Banana(DIM, 1.0, 100.0)
     return flow, target
+
+
+def _banana_logp_static(target):
+    """Banana log-density with Python-scalar closure constants (in-kernel
+    target contract of ops/train_pallas.py)."""
+    import math
+    b, var = float(target.b), float(target.var)
+
+    def logp(x):
+        z2 = x[..., 1] + b * jnp.square(x[..., 0]) - var * b
+        log_z = 0.5 * (DIM * math.log(2 * math.pi) + math.log(var))
+        quad = jnp.square(x[..., 0]) / var + jnp.square(z2)
+        return -log_z - 0.5 * quad
+
+    return logp
+
+
+def make_fused_train(flow, target, n_samples):
+    """Whole-run Pallas kernel trainer: ONE kernel executes the entire Adam
+    scan on-chip (ops/train_pallas.py); same math as the optax path
+    (tests/test_train_kernel.py)."""
+    from normalizingflows.jl_tpu.ops.train_pallas import (
+        adam_train_realnvp_fused,
+    )
+
+    fb = flow.bijector.bijectors[0]
+    logp = _banana_logp_static(target)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(key, n_steps):
+        xs = flow.base.sample(key, (n_steps, n_samples))
+        _, losses = adam_train_realnvp_fused(
+            xs, fb.groups, fb.idx_even, fb.idx_odd, logp,
+            flow.base.loc, flow.base.scale, LR,
+        )
+        return losses
+
+    return run
 
 
 def make_train_chunk(flow, target, n_samples):
@@ -113,6 +151,38 @@ def measure_steps_per_s(device, n=2000):
     return 1.0 / per_step, fl
 
 
+def measure_steps_per_s_fused(device, n=2000, reps=2):
+    """Steps/s of the whole-run Pallas kernel trainer (TPU path). Returns
+    (steps_per_s, final_loss) or None if the kernel fails to build (the
+    bench must never die on a kernel regression — it falls back to the
+    optax path's number)."""
+    try:
+        with jax.default_device(device):
+            flow, target = build(fused=True)
+            run = make_fused_train(flow, target, BATCH)
+
+            def timed(steps):
+                best = float("inf")
+                fl = 0.0
+                for i in range(reps + 1):  # first call compiles
+                    t0 = time.perf_counter()
+                    fl = float(run(jax.random.key(1), steps)[-1])
+                    if i:
+                        best = min(best, time.perf_counter() - t0)
+                return best, fl
+
+            _log(f"fused whole-run kernel timing on {device}: n={n}")
+            t1, fl = timed(n)
+            _log(f"t({n} steps)={t1:.3f}s")
+            t2, _ = timed(2 * n)
+            _log(f"t({2*n} steps)={t2:.3f}s")
+        per_step = max((t2 - t1) / n, 1e-12)
+        return 1.0 / per_step, fl
+    except Exception as e:  # noqa: BLE001
+        _log(f"fused train kernel unavailable ({type(e).__name__}: {e})")
+        return None
+
+
 def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2):
     with jax.default_device(device):
         flow, _ = build()
@@ -149,7 +219,18 @@ def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2):
 
 def main():
     accel = jax.devices()[0]
-    steps_per_s, final_loss = measure_steps_per_s(accel)
+    xla_steps_per_s, final_loss = measure_steps_per_s(accel)
+    steps_per_s = xla_steps_per_s
+    fused_field = None
+    if accel.platform != "cpu":
+        fused = measure_steps_per_s_fused(accel)
+        if fused is not None:
+            fused_steps_per_s, fused_loss = fused
+            fused_field = round(fused_steps_per_s, 2)
+            if fused_steps_per_s > steps_per_s:
+                # the whole-run Pallas kernel is the headline path; same
+                # math as the optax scan (tests/test_train_kernel.py)
+                steps_per_s, final_loss = fused_steps_per_s, fused_loss
     samples_per_s = measure_samples_per_s(accel)
 
     try:
@@ -170,6 +251,8 @@ def main():
         "samples_per_s": round(samples_per_s, 1),
         "final_loss_2000_steps": round(final_loss, 4),
         "batch_per_step": BATCH,
+        "xla_scan_steps_per_s": round(xla_steps_per_s, 2),
+        "fused_kernel_steps_per_s": fused_field,
         "device": str(accel),
         "baseline_def": "same jitted program on 1 host CPU core (reference "
                         "is CPU-only Julia with no published numbers; "

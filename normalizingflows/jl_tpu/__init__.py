@@ -75,6 +75,7 @@ from .train import (
     optimize,
     train_flow,
     train_flow_mle,
+    train_realnvp_fused,
 )
 
 __version__ = "0.1.0"
@@ -99,4 +100,5 @@ __all__ = [
     "elbo_single_sample", "elbo_stl", "loglikelihood", "presample_base",
     # training
     "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
+    "train_realnvp_fused",
 ]
