@@ -183,9 +183,9 @@ def measure_steps_per_s_fused(device, n=2000, reps=2):
         return None
 
 
-def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2):
+def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2, fused=False):
     with jax.default_device(device):
-        flow, _ = build()
+        flow, _ = build(fused=fused)
 
         @functools.partial(jax.jit, static_argnames="m")
         def draw_many(flow, key, m):
@@ -232,6 +232,16 @@ def main():
                 # math as the optax scan (tests/test_train_kernel.py)
                 steps_per_s, final_loss = fused_steps_per_s, fused_loss
     samples_per_s = measure_samples_per_s(accel)
+    if accel.platform != "cpu":
+        try:
+            # fused whole-stack forward kernel (ops/coupling_pallas.py);
+            # report whichever sampling path is faster
+            samples_per_s = max(
+                samples_per_s, measure_samples_per_s(accel, fused=True)
+            )
+        except Exception as e:  # noqa: BLE001
+            _log(f"fused sampling kernel unavailable "
+                 f"({type(e).__name__}: {e})")
 
     try:
         cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else None

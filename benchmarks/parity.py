@@ -47,11 +47,21 @@ def _moments(samples):
 
 def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
          optimizer, max_iters, check_every, seed=123, dtype=jnp.float32,
-         project=None):
+         project=None, n_eval=N_EVAL, eval_reps=1):
     key = jax.random.key(seed)
     ke, kt, km1, km2 = jax.random.split(key, 4)
 
-    before = float(nf.elbo_batch(ke, flow, target_logp, N_EVAL))
+    def eval_elbo(f, k0):
+        # mean over eval_reps independent estimates (heavy-tailed targets
+        # like the funnel need >1 rep for a stable before/after comparison)
+        vals = [
+            float(nf.elbo_batch(jax.random.fold_in(k0, r), f, target_logp,
+                                n_eval))
+            for r in range(eval_reps)
+        ]
+        return sum(vals) / len(vals)
+
+    before = eval_elbo(flow, ke)
     t0 = time.perf_counter()
     res = nf.train_flow(
         kt, objective, flow, target_logp, n_per_iter,
@@ -59,8 +69,7 @@ def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
         check_every=check_every,
     )
     # sync on a final scalar fetch (remote TPU backends can return early)
-    after = float(nf.elbo_batch(jax.random.key(7), res.flow, target_logp,
-                                N_EVAL))
+    after = eval_elbo(res.flow, jax.random.key(7))
     wall = time.perf_counter() - t0
 
     flow_samples = jax.jit(
@@ -166,7 +175,7 @@ def hamiltonian(iters):
     # the flow lives on the 2d joint space: compare the x block's moments
     return _run("hamiltonian_funnel", flow, lp, sample_joint_x, nf.elbo, 16,
                 optax.adam(3e-4), iters, max(iters // 10, 1), dtype=dtype,
-                project=lambda s: s[:, :dim])
+                project=lambda s: s[:, :dim], n_eval=16384, eval_reps=4)
 
 
 WORKLOADS = {
