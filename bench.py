@@ -155,7 +155,17 @@ def measure_steps_per_s_fused(device, n=2000, reps=2):
     """Steps/s of the whole-run Pallas kernel trainer (TPU path). Returns
     (steps_per_s, final_loss) or None if the kernel fails to build (the
     bench must never die on a kernel regression — it falls back to the
-    optax path's number)."""
+    optax path's number).
+
+    Gated on benchmarks/.fused_train_ok: the sentinel is written only
+    after the kernel has been validated end-to-end on the actual TPU, so
+    an unvalidated Mosaic compile can never hang the driver's bench run
+    (a hung remote compile wedges the TPU tunnel)."""
+    import pathlib
+    sentinel = pathlib.Path(__file__).parent / "benchmarks" / ".fused_train_ok"
+    if not sentinel.exists():
+        _log("fused train kernel not TPU-validated (no sentinel); skipping")
+        return None
     try:
         with jax.default_device(device):
             flow, target = build(fused=True)
