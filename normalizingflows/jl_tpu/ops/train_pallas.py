@@ -10,13 +10,18 @@ out. Per step the kernel runs: forward through every coupling block
 `ops/coupling_pallas.py`, and the Adam update — with ZERO HBM round-trips
 for parameters/activations and zero per-op XLA dispatch between them.
 
-This is the speed-of-light path for the reference's headline workload
-(RealNVP on the hard banana, `example/demo_RealNVP.jl:20-61`): the config
-is latency-bound (batch 16, d=2, [16,16]×3), so eliminating the ~10²
-per-step op boundaries of the XLA scan body is worth more than any
-single-op optimization. Equivalence with the unfused optax path is pinned
-in tests/test_train_kernel.py (same presampled draws → same loss
-trajectory and final weights within f32 tolerance).
+MEASURED OUTCOME (benchmarks/KERNELS.md, TPU v5e, 2026-08-20): this is a
+NEGATIVE result — ~180× slower than the jitted `lax.scan` over the unfused
+optax step on the reference headline config (142 vs 25,347 steps/s), with
+f32 trajectory drift past 5e-3 within 200 steps (Mosaic's dot-with-ones
+reductions change accumulation order vs XLA). `lax.scan` already compiles
+the whole training loop into one executable, so there was no per-step
+dispatch to eliminate; the Mosaic grid serializes on SMEM scalar stores
+and tiny non-MXU-shaped matmuls. Kept as a correctness-tested experiment
+(equivalence with the optax path is pinned in tests/test_train_kernel.py,
+interpret mode); NOT used by bench.py unless
+benchmarks/validate_fused_train.py has validated it on real hardware and
+written the sentinel — which it currently refuses to do.
 
 Constraints (asserted in the wrapper):
   * the target log-density callable must be jnp-traceable with
@@ -53,6 +58,7 @@ _LOG_2PI = 1.8378770664093453
 
 
 def _train_kernel(
+    step0_ref,
     xs_ref,
     loc_ref,
     scale_ref,
@@ -68,20 +74,25 @@ def _train_kernel(
 ):
     n_w = tree_def.num_leaves
     w_in = refs[:n_w]
-    losses_ref = refs[n_w]
-    w_refs = refs[n_w + 1:2 * n_w + 1]
-    m_refs = refs[2 * n_w + 1:3 * n_w + 1]
-    v_refs = refs[3 * n_w + 1:4 * n_w + 1]
+    m_in = refs[n_w:2 * n_w]
+    v_in = refs[2 * n_w:3 * n_w]
+    losses_ref = refs[3 * n_w]
+    w_refs = refs[3 * n_w + 1:4 * n_w + 1]
+    m_refs = refs[4 * n_w + 1:5 * n_w + 1]
+    v_refs = refs[5 * n_w + 1:6 * n_w + 1]
 
     step = pl.program_id(0)
 
-    # grid step 0: copy initial weights into the carried refs, zero moments
+    # grid step 0: copy the incoming weights/moments into the carried refs
+    # (the grid is one CHUNK of the run; the wrapper threads them between
+    # chunk launches)
     @pl.when(step == 0)
     def _init():
-        for wi, w, m, v in zip(w_in, w_refs, m_refs, v_refs):
+        for wi, mi, vi, w, m, v in zip(w_in, m_in, v_in,
+                                       w_refs, m_refs, v_refs):
             w[:] = wi[:]
-            m[:] = wi[:] * 0
-            v[:] = wi[:] * 0
+            m[:] = mi[:]
+            v[:] = vi[:]
 
     x = xs_ref[0]  # (batch, d) — this step's presampled base draws
     batch, d = x.shape
@@ -118,17 +129,27 @@ def _train_kernel(
             y, ld = _apply_coupling(y, ld, sa, sb, sw, tw, False)
 
     # ---- loss: negative ELBO over the batch --------------------------------
+    # Scalar reductions go through the MXU as dot-with-ones: Mosaic cannot
+    # lower full 1-D vector reductions here ("Not implemented: Offset
+    # change" on the vector.multi_reduction it emits for jnp.mean/sum of a
+    # (batch,) vector whose layout carries an implicit-dim offset).
     logp_y, pull = jax.vjp(target_logp, y)
     loc = loc_ref[:]      # (1, d), broadcasts over the batch
     scale = scale_ref[:]
+    ones_d = jnp.ones((d, 1), dtype)
+    log_scale_sum = jnp.dot(jnp.log(scale), ones_d,
+                            preferred_element_type=dtype)[0, 0]
     z = (x - loc) / scale
     logq0 = (
-        -0.5 * jnp.sum(z * z, axis=-1)
-        - jnp.sum(jnp.log(scale))
+        -0.5 * jnp.dot(z * z, ones_d, preferred_element_type=dtype)[:, 0]
+        - log_scale_sum
         - 0.5 * d * _LOG_2PI
     )
-    loss = -jnp.mean(logp_y - logq0 + ld)
-    losses_ref[0, 0] = loss
+    terms = (logp_y - logq0 + ld)[None, :]  # (1, batch)
+    ones_b = jnp.ones((batch, 1), dtype)
+    loss = -jnp.dot(terms, ones_b, preferred_element_type=dtype)[0, 0] / batch
+    # whole-array SMEM ref (persists across grid steps); dynamic scalar store
+    losses_ref[step, 0] = loss
 
     # ---- backward: hand-written reverse sweep ------------------------------
     inv_b = 1.0 / batch
@@ -137,9 +158,9 @@ def _train_kernel(
 
     leaf_idx = jax.tree_util.tree_unflatten(tree_def, list(range(n_w)))
     # bias corrections 1 − βᵗ as exp(t·log β) — Mosaic lowers exp/log,
-    # not a general scalar pow
+    # not a general scalar pow. t is the GLOBAL step: chunk base + local.
     import math
-    t = (step + 1).astype(dtype)
+    t = (step0_ref[0, 0] + step + 1).astype(dtype)
     corr1 = 1.0 - jnp.exp(t * math.log(b1))
     corr2 = 1.0 - jnp.exp(t * math.log(b2))
 
@@ -177,14 +198,22 @@ def adam_train_realnvp_fused(
     b2: float = 0.999,
     eps: float = 1e-8,
     interpret: bool = False,
+    chunk: int = 512,
 ):
-    """Run a FULL Adam/ELBO training scan in one Pallas kernel.
+    """Run a FULL Adam/ELBO training scan in Pallas kernel launches.
 
     ``xs``: (n_steps, batch, d) presampled base draws (one batch per step).
     ``groups``: FusedRealNVP stacked weights {'even'|'odd': {'s'|'t':
     [(W, b), ...]}} with leading block axis. ``target_logp``: jnp-traceable
     log-density (Python-scalar closure constants only). ``base_loc`` /
     ``base_scale``: (d,) diagonal-Gaussian base parameters.
+
+    The run is split into launches of ``chunk`` grid steps: per-step scalar
+    losses live in one whole-array SMEM ref (TPU pads each SMEM window
+    scalar to 512 B, so the ~1 MiB SMEM caps a launch at ~2048 steps), and
+    weights/Adam moments are threaded between launches through HBM —
+    O(n_steps / chunk) round-trips of a few-KB pytree, with everything
+    VMEM-resident within a chunk.
 
     Returns ``(groups_trained, losses)`` with ``losses`` shaped (n_steps,).
     """
@@ -195,6 +224,7 @@ def adam_train_realnvp_fused(
     comp_odd = tuple(i for i in range(d) if i not in set(idx_odd))
 
     flat_w, tree_def = jax.tree_util.tree_flatten(groups)
+    n_w = tree_def.num_leaves
     n_blocks = flat_w[0].shape[0]
     dtype = xs.dtype
     loc = jnp.broadcast_to(base_loc, (d,)).astype(dtype)[None, :]
@@ -213,25 +243,51 @@ def adam_train_realnvp_fused(
     )
     carry_specs = [_weight_spec(a) for a in flat_w]
     carry_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_w]
-    out = pl.pallas_call(
-        kern,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, batch, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-        + carry_specs,
-        out_specs=[pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)]
-        + carry_specs + carry_specs + carry_specs,
-        out_shape=[jax.ShapeDtypeStruct((n_steps, 1), dtype)]
-        + carry_shapes + carry_shapes + carry_shapes,
-        interpret=interpret,
-    )(xs, loc, scale, *flat_w)
-    losses = out[0][:, 0]
-    n_w = tree_def.num_leaves
-    w_out = out[1:1 + n_w]
-    groups_out = jax.tree_util.tree_unflatten(tree_def, list(w_out))
+
+    def run_chunk(step0, xs_c, flat_w, flat_m, flat_v):
+        c = xs_c.shape[0]
+        out = pl.pallas_call(
+            kern,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, batch, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + carry_specs + carry_specs + carry_specs,
+            # whole-array SMEM block: a (1, 1) sliding block is unlowerable
+            # (TPU blocks must tile to (8, 128) or equal the array dims);
+            # the full (c, 1) ref persists across grid steps and takes
+            # dynamic scalar stores
+            out_specs=[pl.BlockSpec((c, 1), lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM)]
+            + carry_specs + carry_specs + carry_specs,
+            out_shape=[jax.ShapeDtypeStruct((c, 1), dtype)]
+            + carry_shapes + carry_shapes + carry_shapes,
+            interpret=interpret,
+        )(step0, xs_c, loc, scale, *flat_w, *flat_m, *flat_v)
+        losses = out[0][:, 0]
+        return (list(out[1:1 + n_w]), list(out[1 + n_w:1 + 2 * n_w]),
+                list(out[1 + 2 * n_w:1 + 3 * n_w]), losses)
+
+    flat_m = [jnp.zeros_like(a) for a in flat_w]
+    flat_v = [jnp.zeros_like(a) for a in flat_w]
+    losses_parts = []
+    start = 0
+    while start < n_steps:
+        c = min(chunk, n_steps - start)
+        step0 = jnp.full((1, 1), start, jnp.int32)
+        flat_w, flat_m, flat_v, losses_c = run_chunk(
+            step0, xs[start:start + c], flat_w, flat_m, flat_v
+        )
+        losses_parts.append(losses_c)
+        start += c
+    losses = (losses_parts[0] if len(losses_parts) == 1
+              else jnp.concatenate(losses_parts))
+    groups_out = jax.tree_util.tree_unflatten(tree_def, flat_w)
     return groups_out, losses

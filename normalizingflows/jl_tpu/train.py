@@ -319,15 +319,20 @@ def train_realnvp_fused(
 ) -> TrainResult:
     """ELBO-train a fused RealNVP flow with the WHOLE-RUN Pallas kernel.
 
-    One kernel launch executes all ``max_iters`` Adam steps on-chip
+    One kernel launch per 512-step chunk executes the Adam scan on-chip
     (`ops/train_pallas.py`): weights and Adam moments stay VMEM-resident,
     each step's presampled base draws stream in, per-step losses stream
     out. Same math as ``train_flow(key, elbo_batch, flow, logp,
     n_samples)`` with ``optax.adam(learning_rate)`` — pinned in
-    tests/test_train_kernel.py — but with zero per-op dispatch between the
-    forward, backward, and update, which dominates latency-bound configs
-    like the reference's headline RealNVP demo
-    (`example/demo_RealNVP.jl:20-61`).
+    tests/test_train_kernel.py.
+
+    NOTE — measured to be ~180× SLOWER than `train_flow` on real TPU
+    (benchmarks/KERNELS.md "Whole-run train kernel"): `lax.scan` already
+    compiles the whole loop into one executable, so there is no per-step
+    dispatch for the kernel to eliminate, and the Mosaic grid serializes
+    on SMEM scalar stores and tiny non-MXU-shaped matmuls. Prefer
+    `train_flow`; this entry point exists as a correctness-tested
+    experiment in on-chip full-loop fusion.
 
     Requirements: ``flow`` built with ``realnvp(..., fused=True)``,
     a `DiagNormal` base, and ``logp`` jnp-traceable with Python-scalar
