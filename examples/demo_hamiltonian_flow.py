@@ -12,7 +12,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-import normalizingflows as nf
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import normalizingflows as nf  # noqa: E402
 from normalizingflows.jl_tpu.models.hamiltonian import joint_logp
 
 

@@ -12,7 +12,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-import normalizingflows as nf
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import normalizingflows as nf  # noqa: E402
 
 
 def main(max_iters: int, seed: int = 123, use_stl: bool = False):

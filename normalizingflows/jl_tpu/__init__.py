@@ -77,6 +77,13 @@ from .train import (
     train_flow_mle,
     train_realnvp_fused,
 )
+from .config import (
+    FlowConfig,
+    OptimizerConfig,
+    TrainConfig,
+    config_from_json,
+    config_to_json,
+)
 
 __version__ = "0.1.0"
 
@@ -101,4 +108,7 @@ __all__ = [
     # training
     "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
     "train_realnvp_fused",
+    # configs
+    "FlowConfig", "OptimizerConfig", "TrainConfig",
+    "config_from_json", "config_to_json",
 ]

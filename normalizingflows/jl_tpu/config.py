@@ -1,0 +1,170 @@
+"""Declarative experiment configs (flows, optimizer, training loop).
+
+The reference has no config system — every knob is a keyword argument with
+a documented default (`src/NormalizingFlows.jl:59-62`, `src/optimize.jl:63-71`,
+flow-constructor defaults in `src/flows/*.jl`). SURVEY §5 calls for
+dataclass-style config objects mirroring those knobs: this module provides
+them, with JSON round-tripping so a whole experiment (flow family +
+hyperparameters + optimizer + loop settings) can be stored next to a
+checkpoint and rebuilt exactly.
+
+Every config is a plain frozen dataclass: `to_dict()`/`from_dict()` are
+inverse, `FlowConfig.build(key)` constructs the flow, `TrainConfig.run(...)`
+drives `train_flow`. Defaults equal the reference defaults cited per field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models.coupling import realnvp
+from .models.planar_radial import planarflow, radialflow
+from .models.spline import nsf
+from .train import TrainResult, train_flow
+
+__all__ = [
+    "FlowConfig",
+    "OptimizerConfig",
+    "TrainConfig",
+    "config_to_json",
+    "config_from_json",
+]
+
+_DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
+           "bfloat16": jnp.bfloat16}
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Which flow to build, with the reference's constructor defaults.
+
+    ``family``: 'planar' | 'radial' | 'realnvp' | 'nsf'.
+    Defaults per family (reference `src/flows/planar_radial.jl:21-29,52-60`,
+    `realnvp.jl:190-192`, `neuralspline.jl:232-234`): 10 layers; RealNVP/NSF
+    conditioner hdims [32, 32]; NSF K=10 knots, B=30 box bound.
+    """
+
+    family: str = "realnvp"
+    dim: int = 2
+    nlayers: int = 10
+    hdims: tuple = (32, 32)
+    K: int = 10
+    B: float = 30.0
+    dtype: str = "float32"  # the reference's `paramtype` knob
+    fused: bool = False
+
+    def build(self, key: jax.Array):
+        dt = _DTYPES[self.dtype]
+        if self.family == "planar":
+            return planarflow(key, self.dim, self.nlayers, dtype=dt)
+        if self.family == "radial":
+            return radialflow(key, self.dim, self.nlayers, dtype=dt)
+        if self.family == "realnvp":
+            return realnvp(key, self.dim, tuple(self.hdims),
+                           nlayers=self.nlayers, dtype=dt, fused=self.fused)
+        if self.family == "nsf":
+            return nsf(key, self.dim, tuple(self.hdims), K=self.K, B=self.B,
+                       nlayers=self.nlayers, dtype=dt)
+        raise ValueError(f"unknown flow family {self.family!r}")
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Optax rule by name. Reference default: `Optimisers.ADAM()` ==
+    Adam(1e-3) (`src/NormalizingFlows.jl:60`)."""
+
+    name: str = "adam"
+    learning_rate: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+    def build(self) -> optax.GradientTransformation:
+        if self.name == "adam":
+            return optax.adam(self.learning_rate, b1=self.b1, b2=self.b2,
+                              eps=self.eps)
+        if self.name == "sgd":
+            return optax.sgd(self.learning_rate)
+        if self.name == "adamw":
+            return optax.adamw(self.learning_rate, b1=self.b1, b2=self.b2,
+                               eps=self.eps)
+        raise ValueError(f"unknown optimizer {self.name!r}")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Loop knobs of `train_flow` (reference kwargs at
+    `src/NormalizingFlows.jl:59-62` / `src/optimize.jl:63-71`)."""
+
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    max_iters: int = 1000       # train_flow default (optimize's is 10_000)
+    n_samples: int = 32         # MC samples per iteration
+    objective: str = "elbo_batch"  # 'elbo' | 'elbo_batch' | 'elbo_stl'
+    check_every: int = 100
+    show_progress: bool = False
+    train_base: bool = False    # the reference's `@leaf MvNormal` freezing
+    unroll: int = 1
+    seed: int = 0
+
+    def run(self, target_logp: Callable[[jax.Array], jax.Array],
+            **overrides: Any) -> TrainResult:
+        """Build the flow and train it against ``target_logp``."""
+        from . import objectives
+
+        vo = getattr(objectives, self.objective)
+        key = jax.random.key(self.seed)
+        kb, kt = jax.random.split(key)
+        flow = self.flow.build(kb)
+        return train_flow(
+            kt, vo, flow, target_logp, self.n_samples,
+            max_iters=self.max_iters,
+            optimizer=self.optimizer.build(),
+            train_base=self.train_base,
+            check_every=self.check_every,
+            show_progress=self.show_progress,
+            unroll=self.unroll,
+            **overrides,
+        )
+
+
+def _to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name))
+                for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (tuple, list)):
+        return [_to_dict(v) for v in cfg]
+    return cfg
+
+
+def config_to_json(cfg: Any) -> str:
+    """Serialize any config dataclass to JSON."""
+    return json.dumps(_to_dict(cfg), indent=2)
+
+
+def _coerce(cls: type, data: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in ("flow", "optimizer"):
+            sub = {"flow": FlowConfig, "optimizer": OptimizerConfig}[f.name]
+            v = _coerce(sub, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def config_from_json(s: str, cls: type = TrainConfig) -> Any:
+    """Rebuild a config dataclass from `config_to_json` output."""
+    return _coerce(cls, json.loads(s))

@@ -35,6 +35,7 @@ __all__ = [
     "apply_mask",
     "tree_size",
     "global_norm",
+    "destructure",
 ]
 
 
@@ -154,3 +155,21 @@ def global_norm(tree: Any) -> jax.Array:
     if not leaves:
         return jnp.zeros(())
     return jnp.sqrt(sum(leaves))
+
+
+def destructure(tree: T) -> tuple[jax.Array, Callable[[jax.Array], T]]:
+    """Flatten a module/pytree to ``(theta, re)`` with ``re(theta)`` the
+    reconstructor — API parity with `Optimisers.destructure`
+    (reference `src/NormalizingFlows.jl:67`).
+
+    The reference trains in this flattened form; here it exists for
+    diagnostics and interop only (SURVEY §1: the idiomatic JAX optimization
+    variable is the pytree itself — flattening every step would defeat
+    XLA's per-leaf layout choices and recompile on any structure change).
+    Static fields ride along in the closure, so ``re`` rebuilds the exact
+    module type.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    theta, re = ravel_pytree(tree)
+    return theta, re

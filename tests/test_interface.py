@@ -155,3 +155,24 @@ def test_presampled_objective_matches_keyed(key):
     scale = res.flow.bijector.bijectors[0].a
     assert np.all(np.abs(np.asarray(shift) - mu_true) < 0.2), shift
     assert np.all(np.abs(np.abs(np.asarray(scale)) - sigma_true) < 0.2), scale
+
+
+def test_destructure_roundtrip():
+    """`destructure` parity (reference `src/NormalizingFlows.jl:67`):
+    flatten → reconstruct is the identity, and the reconstructor rebuilds
+    the exact module type with static fields intact."""
+    import jax
+    import jax.numpy as jnp
+
+    import normalizingflows as nf
+    from normalizingflows.jl_tpu.utils.pytree import destructure, tree_size
+
+    flow = nf.realnvp(jax.random.key(0), 2, (8, 8), nlayers=2)
+    theta, re = destructure(flow)
+    assert theta.ndim == 1 and theta.size == tree_size(flow)
+    flow2 = re(theta * 1.0)
+    assert type(flow2) is type(flow)
+    x = flow.base.sample(jax.random.key(1), (16,))
+    y1, ld1 = flow.bijector.forward_and_log_det(x)
+    y2, ld2 = flow2.bijector.forward_and_log_det(x)
+    assert jnp.allclose(y1, y2) and jnp.allclose(ld1, ld2)
