@@ -84,6 +84,14 @@ from .config import (
     config_from_json,
     config_to_json,
 )
+from .diagnostics import (
+    FlowDiagnostics,
+    elbo_with_sem,
+    ess,
+    evaluate_flow,
+    log_normalizer,
+    log_weights,
+)
 
 __version__ = "0.1.0"
 
@@ -111,4 +119,7 @@ __all__ = [
     # configs
     "FlowConfig", "OptimizerConfig", "TrainConfig",
     "config_from_json", "config_to_json",
+    # diagnostics
+    "FlowDiagnostics", "elbo_with_sem", "ess", "evaluate_flow",
+    "log_normalizer", "log_weights",
 ]
