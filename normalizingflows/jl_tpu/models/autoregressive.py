@@ -1,0 +1,241 @@
+"""Masked autoregressive flows (MAF / IAF) — a flow family beyond the
+reference's zoo.
+
+An affine autoregressive transform ``y_i = x_i·exp(s_i(x_{<i})) +
+t_i(x_{<i})`` is triangular, so its log-det is ``Σ s_i`` and one masked-MLP
+pass (MADE — Germain et al. 2015) computes EVERY conditioner output at once:
+the whole transform is two dense matmuls on the MXU, strictly
+TPU-friendlier than d sequential conditioners. The sequential direction
+(solving for x given y) runs the masked pass ``dim`` times — exact after
+``dim`` fixed-point iterations because dependency is strictly triangular —
+as a `lax.fori_loop` with static trip count.
+
+Orientation is the classic trade-off (Papamakarios et al. 2017, Kingma et
+al. 2016):
+
+  * `iaf(...)`  — parallel FORWARD: fast `sample` / reverse-KL ELBO
+    training (the VI use-case of this framework).
+  * `maf(...)`  — the same bijector wrapped in `Inverse`: parallel
+    `log_prob`, for forward-KL / MLE training from data.
+
+Both interleave `Permute` (order reversal) between layers so every
+dimension gets conditioned on every other across depth. The log-scale head
+is tanh-bounded like the RealNVP conditioner (reference
+`src/flows/realnvp.jl:49-52` applies tanh before exponentiation for
+stability; same rationale here).
+
+No reference counterpart (its zoo is planar/radial/RealNVP/NSF —
+`src/flows/`); cited against the MADE/MAF/IAF papers instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import Module, module, static_field
+from .bijector import Bijector, Chain, Inverse, _zero_log_det
+from .distributions import DiagNormal, Distribution, TransformedDistribution
+from .flows import create_flow
+from .nets import _glorot_uniform, leaky_relu
+
+__all__ = [
+    "MADE",
+    "MaskedAutoregressive",
+    "MaskedDense",
+    "Permute",
+    "iaf",
+    "maf",
+    "maf_layer",
+]
+
+
+@module
+class MaskedDense(Module):
+    """Dense layer with a static autoregressive mask on the weights.
+
+    The mask is derived from integer "degrees" (MADE): connection i→j is
+    kept iff ``out_degree_j ≥ in_degree_i`` (non-strict, hidden layers) or
+    ``out_degree_j > in_degree_i`` (strict, the output layer — so output j
+    never sees input j). Degrees are static fields: the mask is a traced
+    constant XLA folds into the weight tensor, so runtime cost is exactly
+    one dense matmul.
+    """
+
+    W: jax.Array  # (in_dim, out_dim)
+    b: jax.Array
+    in_degrees: tuple = static_field(default=())
+    out_degrees: tuple = static_field(default=())
+    strict: bool = static_field(default=False)
+    activation: Callable | None = static_field(default=None)
+
+    @staticmethod
+    def make(key, in_degrees, out_degrees, strict=False, activation=None,
+             dtype=jnp.float32):
+        in_dim, out_dim = len(in_degrees), len(out_degrees)
+        W = _glorot_uniform(key, in_dim, out_dim, dtype)
+        b = jnp.zeros((out_dim,), dtype=dtype)
+        return MaskedDense(W, b, tuple(int(d) for d in in_degrees),
+                           tuple(int(d) for d in out_degrees), strict,
+                           activation)
+
+    def _mask(self, dtype) -> jax.Array:
+        din = jnp.asarray(self.in_degrees)[:, None]
+        dout = jnp.asarray(self.out_degrees)[None, :]
+        m = (dout > din) if self.strict else (dout >= din)
+        return m.astype(dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.W.dtype in (jnp.float32, jnp.float64)
+            else None
+        )
+        W = self.W * self._mask(self.W.dtype)
+        y = jnp.matmul(x, W, precision=prec) + self.b
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+@module
+class MADE(Module):
+    """Masked MLP emitting ``(shift, raw_log_scale)`` for every dimension
+    in ONE pass, each depending only on strictly-earlier inputs."""
+
+    layers: tuple[MaskedDense, ...]
+    dim: int = static_field(default=0)
+
+    @staticmethod
+    def make(key, dim, hidden_dims: Sequence[int],
+             activation=leaky_relu, dtype=jnp.float32):
+        in_deg = tuple(range(1, dim + 1))
+        hidden_degs = [
+            tuple((i % max(dim - 1, 1)) + 1 for i in range(h))
+            for h in hidden_dims
+        ]
+        out_deg = in_deg + in_deg  # (shift ‖ log-scale) heads
+        degs = [in_deg, *hidden_degs]
+        keys = jax.random.split(key, len(degs))
+        layers = []
+        for i, k in enumerate(keys):
+            last = i == len(degs) - 1
+            layers.append(MaskedDense.make(
+                k, degs[i], out_deg if last else degs[i + 1],
+                strict=last, activation=None if last else activation,
+                dtype=dtype,
+            ))
+        return MADE(tuple(layers), dim)
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        h = x
+        for layer in self.layers:
+            h = layer(h)
+        t, s_raw = h[..., : self.dim], h[..., self.dim:]
+        return t, jnp.tanh(s_raw)  # bounded log-scale (RealNVP rationale)
+
+
+@module
+class Permute(Bijector):
+    """Static index permutation (log-det 0). Interleaved between
+    autoregressive layers so conditioning order alternates."""
+
+    perm: tuple = static_field(default=())
+
+    @staticmethod
+    def reverse(dim: int) -> "Permute":
+        return Permute(tuple(range(dim - 1, -1, -1)))
+
+    def forward_and_log_det(self, x):
+        idx = jnp.asarray(self.perm)
+        return x[..., idx], _zero_log_det(x)
+
+    def inverse_and_log_det(self, y):
+        inv = tuple(int(i) for i in jnp.argsort(jnp.asarray(self.perm)))
+        return y[..., jnp.asarray(inv)], _zero_log_det(y)
+
+
+@module
+class MaskedAutoregressive(Bijector):
+    """Affine autoregressive bijector, parallel in the FORWARD direction.
+
+    forward: ``y = x·exp(s(x)) + t(x)`` — one MADE pass, log-det ``Σ s``.
+    inverse: ``dim`` fixed-point iterations of ``x ← (y − t(x))·exp(−s(x))``
+    (exact — dependency is strictly triangular, so iteration k settles
+    dimension k; static trip count keeps it one compiled `fori_loop`).
+    """
+
+    made: MADE
+
+    def forward_and_log_det(self, x):
+        t, s = self.made(x)
+        return x * jnp.exp(s) + t, jnp.sum(s, axis=-1)
+
+    def inverse_and_log_det(self, y):
+        def body(_, x):
+            t, s = self.made(x)
+            return (y - t) * jnp.exp(-s)
+
+        x = jax.lax.fori_loop(0, self.made.dim, body, jnp.zeros_like(y))
+        _, s = self.made(x)
+        return x, -jnp.sum(s, axis=-1)
+
+
+def maf_layer(
+    key: jax.Array,
+    dim: int,
+    hidden_dims: Sequence[int] = (32, 32),
+    dtype=jnp.float32,
+) -> MaskedAutoregressive:
+    """One affine masked-autoregressive bijector (parallel forward)."""
+    return MaskedAutoregressive(MADE.make(key, dim, hidden_dims,
+                                          dtype=dtype))
+
+
+def _ar_stack(key, dim, hidden_dims, nlayers, dtype, wrap):
+    keys = jax.random.split(key, nlayers)
+    layers = []
+    for i, k in enumerate(keys):
+        if i:
+            layers.append(Permute.reverse(dim))
+        layers.append(wrap(maf_layer(k, dim, hidden_dims, dtype)))
+    return layers
+
+
+def iaf(
+    key: jax.Array,
+    q0: Distribution | int,
+    hidden_dims: Sequence[int] = (32, 32),
+    nlayers: int = 5,
+    dtype=jnp.float32,
+) -> TransformedDistribution:
+    """Inverse-autoregressive flow (Kingma et al. 2016): sampling and the
+    reverse-KL ELBO are the parallel one-pass direction — the right
+    orientation for this framework's VI use-case. ``log_prob`` costs
+    ``dim`` masked passes per layer."""
+    if isinstance(q0, int):
+        q0 = DiagNormal.standard(q0, dtype)
+    dim = q0.event_dim
+    return create_flow(
+        _ar_stack(key, dim, hidden_dims, nlayers, dtype, lambda b: b), q0
+    )
+
+
+def maf(
+    key: jax.Array,
+    q0: Distribution | int,
+    hidden_dims: Sequence[int] = (32, 32),
+    nlayers: int = 5,
+    dtype=jnp.float32,
+) -> TransformedDistribution:
+    """Masked autoregressive flow (Papamakarios et al. 2017): ``log_prob``
+    (density / forward-KL MLE training, `train_flow_mle`) is the parallel
+    direction; sampling costs ``dim`` masked passes per layer."""
+    if isinstance(q0, int):
+        q0 = DiagNormal.standard(q0, dtype)
+    dim = q0.event_dim
+    return create_flow(
+        _ar_stack(key, dim, hidden_dims, nlayers, dtype, Inverse), q0
+    )
