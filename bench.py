@@ -52,6 +52,16 @@ def build(fused=False):
     return flow, target
 
 
+def build_nsf():
+    """NSF demo config (`demo_neural_spline_flow.jl:20-53`): defaults
+    10 layers [32,32] K=10 B=30 — the Pallas RQS kernel path on TPU."""
+    flow = jax.jit(
+        lambda k: nf.nsf(k, DIM, identity_init=True)
+    )(jax.random.key(0))
+    target = nf.Banana(DIM, 1.0, 100.0)
+    return flow, target
+
+
 def _banana_logp_static(target):
     """Banana log-density with Python-scalar closure constants (in-kernel
     target contract of ops/train_pallas.py)."""
@@ -137,10 +147,10 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def measure_steps_per_s(device, n=2000):
+def measure_steps_per_s(device, n=2000, builder=build, batch=BATCH):
     with jax.default_device(device):
-        flow, target = build()
-        run, optimizer = make_train_chunk(flow, target, BATCH)
+        flow, target = builder()
+        run, optimizer = make_train_chunk(flow, target, batch)
         opt_state = optimizer.init(flow)
         _log(f"steps timing on {device}: n={n}")
         t1, fl = _timed_train(run, flow, opt_state, n)
@@ -253,6 +263,31 @@ def main():
             _log(f"fused sampling kernel unavailable "
                  f"({type(e).__name__}: {e})")
 
+    # secondary workloads (VERDICT r2 item 4: the bench must not be only
+    # the latency-bound d=2 RealNVP toy): the NSF demo config (Pallas RQS
+    # path) and a wide MXU-bound RealNVP in f32 and bf16, with the bf16
+    # MFU figure from the roofline model (benchmarks/roofline.py).
+    nsf_steps = wide_f32 = wide_bf16 = wide_bf16_mfu = None
+    try:
+        nsf_steps, _ = measure_steps_per_s(
+            accel, n=1000, builder=build_nsf, batch=64)
+        nsf_steps = round(nsf_steps, 2)
+    except Exception as e:  # noqa: BLE001
+        _log(f"nsf workload unavailable ({type(e).__name__}: {e})")
+    try:
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent
+                               / "benchmarks"))
+        import roofline
+        r32 = roofline.measure_wide_train(n=10)
+        _log(json.dumps(r32))
+        r16 = roofline.measure_wide_train(n=10, compute_dtype=jnp.bfloat16)
+        _log(json.dumps(r16))
+        wide_f32 = r32["steps_per_s"]
+        wide_bf16 = r16["steps_per_s"]
+        wide_bf16_mfu = r16["pct_of_roofline_MFU"]
+    except Exception as e:  # noqa: BLE001
+        _log(f"wide workload unavailable ({type(e).__name__}: {e})")
+
     try:
         cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else None
     except RuntimeError:
@@ -273,6 +308,10 @@ def main():
         "batch_per_step": BATCH,
         "xla_scan_steps_per_s": round(xla_steps_per_s, 2),
         "fused_kernel_steps_per_s": fused_field,
+        "nsf_steps_per_s": nsf_steps,
+        "wide_realnvp_f32_steps_per_s": wide_f32,
+        "wide_realnvp_bf16_steps_per_s": wide_bf16,
+        "wide_realnvp_bf16_mfu_pct": wide_bf16_mfu,
         "device": str(accel),
         "baseline_def": "same jitted program on 1 host CPU core (reference "
                         "is CPU-only Julia with no published numbers; "

@@ -1,0 +1,101 @@
+"""Diagnose/fix the NSF-on-hard-banana collapse (VERDICT round 2, item 1).
+
+Architecture bound (computed in docstrings below): an RQS spline maps
+[-B,B] onto [-B,B] and is the identity outside, so an NSF with B=30 fed
+N(0,I) base samples produces output confined to the box [-30,30]^2. For
+Banana(2, b=1, var=100) the target mass inside that box is
+Z_box = 0.1486 → the best achievable ELBO for this architecture is
+log Z_box = **-1.907 nats** (covering both banana arms) or
+log(Z_box/2) = **-2.600 nats** (one arm — what mode-seeking reverse KL
+finds). "Within 1 nat of RealNVP's -0.56" is mathematically impossible
+with the reference's own defaults (B=30, q0=N(0,I),
+`/root/reference/src/flows/neuralspline.jl:232-234`).
+
+This script trains the reference demo config
+(`/root/reference/example/demo_neural_spline_flow.jl:20-53`) under several
+controlled variants and reports final ELBO vs those bounds.
+
+Usage: python benchmarks/nsf_diagnose.py [--variants a,b,...] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import normalizingflows as nf
+
+LOG_Z_BOX = -1.9066     # both arms
+LOG_Z_ARM = -2.5998     # one arm
+
+
+def make_target():
+    return nf.Banana(2, 1.0, 100.0)
+
+
+def run(name, iters, lr=1e-4, identity_init=False, schedule=None,
+        clip=None, n_per_iter=64, seed=0):
+    t = make_target()
+    flow = jax.jit(
+        lambda k: nf.nsf(k, 2, identity_init=identity_init)
+    )(jax.random.key(seed))
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps=500, decay_steps=iters, end_value=lr / 50)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(lr)
+    if clip is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+
+    before = float(nf.elbo_batch(jax.random.key(1), flow, t.log_prob, 4096))
+    t0 = time.perf_counter()
+    res = nf.train_flow(jax.random.key(2), nf.elbo_batch, flow, t.log_prob,
+                        n_per_iter, max_iters=iters, optimizer=opt,
+                        check_every=max(iters // 10, 1))
+    after = float(nf.elbo_batch(jax.random.key(3), res.flow, t.log_prob,
+                                16384))
+    wall = time.perf_counter() - t0
+    tail = res.stats["loss"][-max(iters // 10, 1):]
+    s = jax.jit(lambda k: res.flow.sample(k, (65536,)))(jax.random.key(4))
+    std = jnp.std(s, axis=0)
+    out = {
+        "variant": name, "iters": iters,
+        "elbo_before": round(before, 3), "elbo_after": round(after, 3),
+        "elbo_train_tail": round(-float(tail.mean()), 3),
+        "std_flow": [round(float(v), 3) for v in std],
+        "gap_to_arm_bound": round(LOG_Z_ARM - after, 3),
+        "iters_per_s": round(iters / wall, 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+VARIANTS = {
+    # exact reference config, just trained to the 50k the ref comment suggests
+    "ref50k": dict(lr=1e-4),
+    # + identity init (Durkan et al. reference-impl initialization)
+    "ident50k": dict(lr=1e-4, identity_init=True),
+    # + warmup-cosine at 5x the ref peak lr
+    "ident_cos": dict(lr=5e-4, identity_init=True, schedule="cosine"),
+    # gradient clipping alone (tames the -202k random-warp init)
+    "clip": dict(lr=1e-4, clip=1.0),
+    # everything
+    "ident_cos_clip": dict(lr=5e-4, identity_init=True, schedule="cosine",
+                           clip=1.0),
+}
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--iters", type=int, default=50_000)
+    a = p.parse_args()
+    print(json.dumps({"log_Z_box": LOG_Z_BOX, "log_Z_arm": LOG_Z_ARM}))
+    for name in a.variants.split(","):
+        run(name, a.iters, **VARIANTS[name])

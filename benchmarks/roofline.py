@@ -1,0 +1,299 @@
+"""Roofline / MFU accounting for the Pallas kernels and the training step
+(VERDICT r2 item 4: "kernels at speed-of-light per chip" must be a number,
+not a claim).
+
+Model: TPU v5e (v5 lite) peaks — 197 TFLOP/s bf16 MXU, ~1/4 of that for
+f32 (HIGHEST-precision matmuls run multi-pass), 819 GB/s HBM. Each
+measurement reports an analytic flop/byte count per element or per step,
+the achieved rate (two-size slope timing, host-fetch synced — same
+methodology as bench.py), and the fraction of the binding roofline:
+
+  * RQS spline kernel — elementwise, arithmetic-light (~60 flop/elem vs
+    132 B/elem traffic → intensity ~0.45 flop/B, far left of the v5e
+    ridge at ~240 flop/B): HBM-BANDWIDTH bound. Report achieved GB/s and
+    % of 819 GB/s.
+  * Fused coupling kernel / wide RealNVP training step — matmul-dominated:
+    MXU bound. Report achieved TFLOP/s and % of the dtype's peak (MFU).
+
+Writes benchmarks/ROOFLINE.md and prints one JSON line per measurement.
+
+Usage: python benchmarks/roofline.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import normalizingflows as nf
+from normalizingflows.jl_tpu.ops import rqs_pallas
+from normalizingflows.jl_tpu.utils.pytree import (
+    apply_mask,
+    trainable_mask,
+)
+
+HERE = Path(__file__).resolve().parent
+MD_PATH = HERE / "ROOFLINE.md"
+
+# v5e (TPU v5 lite) single-chip peaks
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 4  # multi-pass full-precision matmul
+PEAK_HBM_BPS = 819e9
+
+
+def _sync(x) -> float:
+    """Host-fetch a scalar — the only reliable sync on tunneled backends."""
+    return float(jnp.ravel(x)[0])
+
+
+def _slope_time(fn, n1: int, n2: int, reps: int = 3) -> float:
+    """Per-unit seconds via two-size slope: (t(n2) − t(n1)) / (n2 − n1).
+    fn(n) must run n units on-device and return an array to fetch."""
+    def timed(n):
+        best = float("inf")
+        for i in range(reps + 1):  # first call compiles
+            t0 = time.perf_counter()
+            _sync(fn(n))
+            if i:
+                best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(n1), timed(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-12)
+
+
+# ---------------------------------------------------------------- RQS kernel
+
+def rqs_flops_bytes(K: int):
+    """Per-element analytic cost of the fused RQS forward.
+
+    Traffic (f32): x in (4 B) + raw params in ((3K−1)·4 B) + y out (4 B)
+    + logdet out (4 B). Compute: softmax+cumsum normalization ≈ 6 ops per
+    raw param (exp, sum, div, cumsum add, scale, min-clamp) + bin search
+    (K compares) + rational-quadratic eval (~30 flop).
+    """
+    bytes_per = 4 * (1 + (3 * K - 1) + 2)
+    flops_per = 6 * (3 * K - 1) + K + 30
+    return flops_per, bytes_per
+
+
+def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0):
+    """Achieved HBM bandwidth of the fused RQS kernel at NSF-demo K."""
+    kx, kr = jax.random.split(jax.random.key(0))
+    x = jax.random.uniform(kx, (n_elems,), jnp.float32, -B, B)
+    raw = jax.random.normal(kr, (n_elems, 3 * K - 1), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(key, m):
+        def body(c, k):
+            # vary x each pass (cheap elementwise) so XLA can't CSE passes
+            xi = x * jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
+            y, ld = rqs_pallas.rqs_fused(xi, raw, B, inverse=False)
+            return c + y[0] + ld[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
+        return acc
+
+    per_pass = _slope_time(lambda m: run(jax.random.key(1), m), 4, 12)
+    flops_per, bytes_per = rqs_flops_bytes(K)
+    gbps = n_elems * bytes_per / per_pass / 1e9
+    return {
+        "measurement": "rqs_fused_forward",
+        "config": f"n={n_elems}, K={K}, f32",
+        "elems_per_s": round(n_elems / per_pass / 1e9, 3),
+        "unit_elems": "Gelem/s",
+        "bytes_per_elem": bytes_per,
+        "flops_per_elem": flops_per,
+        "achieved_GBps": round(gbps, 1),
+        "roofline": "HBM 819 GB/s",
+        "pct_of_roofline": round(100 * gbps * 1e9 / PEAK_HBM_BPS, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+# ------------------------------------------------- wide RealNVP train step
+
+def realnvp_train_flops(dim, hdims, nlayers, batch):
+    """Matmul flops of ONE ELBO training step (fwd + backward ≈ 3× fwd:
+    grad-wrt-input and grad-wrt-weight matmuls each cost one forward)."""
+    half = dim // 2
+    dims = [half, *hdims, half]
+    mlp = sum(2 * a * b for a, b in zip(dims[:-1], dims[1:]))  # flops/sample
+    fwd = batch * mlp * 2 * 2 * nlayers  # 2 MLPs (s,t) × 2 couplings
+    return 3 * fwd
+
+
+def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
+                       compute_dtype=None, n=30):
+    """MFU of the wide-RealNVP training step (MXU-bound regime)."""
+    flow = jax.jit(
+        lambda k: nf.realnvp(k, dim, hdims, nlayers=nlayers,
+                             compute_dtype=compute_dtype)
+    )(jax.random.key(0))
+    target = nf.Banana(dim, 1.0, 100.0)
+    optimizer = optax.adam(1e-3)
+    mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+
+    def train_step(carry, key):
+        f, st = carry
+
+        def loss(f):
+            return -nf.elbo_batch(key, f, target.log_prob, batch)
+
+        loss_val, grads = jax.value_and_grad(loss)(f)
+        grads = apply_mask(grads, mask)
+        updates, st = optimizer.update(grads, st, f)
+        return (optax.apply_updates(f, updates), st), loss_val
+
+    opt_state = optimizer.init(flow)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(key, m):
+        (_, _), losses = jax.lax.scan(
+            train_step, (flow, opt_state), jax.random.split(key, m)
+        )
+        return losses[-1]
+
+    per_step = _slope_time(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    flops = realnvp_train_flops(dim, hdims, nlayers, batch)
+    achieved = flops / per_step
+    peak = PEAK_BF16_FLOPS if compute_dtype == jnp.bfloat16 else PEAK_F32_FLOPS
+    dt = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+    return {
+        "measurement": f"realnvp_wide_train_{dt}",
+        "config": f"d={dim}, hdims={list(hdims)}, L={nlayers}, batch={batch}",
+        "steps_per_s": round(1.0 / per_step, 1),
+        "matmul_flops_per_step": flops,
+        "achieved_TFLOPs": round(achieved / 1e12, 2),
+        "roofline": f"MXU {dt} {peak/1e12:.0f} TFLOP/s",
+        "pct_of_roofline_MFU": round(100 * achieved / peak, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+# --------------------------------------------------- fused coupling forward
+
+def coupling_fwd_flops_bytes(dim, hdims, nlayers, batch):
+    half = dim // 2
+    dims = [half, *hdims, half]
+    mlp = sum(2 * a * b for a, b in zip(dims[:-1], dims[1:]))
+    flops = batch * mlp * 2 * 2 * nlayers
+    bytes_ = 4 * batch * dim * 2  # x in, y out (weights VMEM-resident)
+    return flops, bytes_
+
+
+def measure_fused_sampling(dim=2, hdims=(16, 16), nlayers=3,
+                           batch=262144):
+    """The fused whole-stack coupling kernel on the sampling path (its
+    winning regime, KERNELS.md): HBM-bound at small dim."""
+    flow = jax.jit(
+        lambda k: nf.realnvp(k, dim, hdims, nlayers=nlayers, fused=True)
+    )(jax.random.key(0))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(key, m):
+        def body(c, k):
+            s = flow.sample(k, (batch,))
+            return c + s[0, 0] + s[-1, -1], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
+        return acc
+
+    per_pass = _slope_time(lambda m: run(jax.random.key(1), m), 4, 12)
+    flops, bytes_ = coupling_fwd_flops_bytes(dim, hdims, nlayers, batch)
+    gbps = bytes_ / per_pass / 1e9
+    return {
+        "measurement": "coupling_fused_sampling",
+        "config": f"d={dim}, hdims={list(hdims)}, L={nlayers}, batch={batch}",
+        "samples_per_s": round(batch / per_pass / 1e6, 2),
+        "unit_samples": "Msamples/s",
+        "flops_per_pass": flops,
+        "bytes_per_pass": bytes_,
+        "achieved_GBps": round(gbps, 1),
+        "roofline": "HBM 819 GB/s (intensity "
+                    f"{flops/bytes_:.1f} flop/B → BW-bound)",
+        "pct_of_roofline": round(100 * gbps * 1e9 / PEAK_HBM_BPS, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def write_md(rows):
+    lines = [
+        "# ROOFLINE — measured kernel rates vs v5e speed-of-light",
+        "",
+        "Peaks assumed: 197 TFLOP/s bf16 MXU (f32 ≈ 1/4 via multi-pass),",
+        "819 GB/s HBM. Achieved rates use two-size slope timing (fixed",
+        "dispatch overhead cancels; sync via host scalar fetch). Analytic",
+        "flop/byte models in `benchmarks/roofline.py` docstrings.",
+        "",
+        "| measurement | config | rate | analytic cost | achieved | "
+        "roofline | % of roof |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        rate = (f"{r.get('steps_per_s')} steps/s" if "steps_per_s" in r else
+                f"{r.get('elems_per_s')} Gelem/s" if "elems_per_s" in r else
+                f"{r.get('samples_per_s')} Msamples/s")
+        cost = (f"{r['matmul_flops_per_step']:.3g} flop/step"
+                if "matmul_flops_per_step" in r else
+                f"{r.get('bytes_per_elem', r.get('bytes_per_pass'))} B, "
+                f"{r.get('flops_per_elem', r.get('flops_per_pass'))} flop")
+        ach = (f"{r['achieved_TFLOPs']} TFLOP/s" if "achieved_TFLOPs" in r
+               else f"{r['achieved_GBps']} GB/s")
+        pct = r.get("pct_of_roofline_MFU", r.get("pct_of_roofline"))
+        lines.append(
+            f"| {r['measurement']} | {r['config']} | {rate} | {cost} | "
+            f"{ach} | {r['roofline']} | {pct}% |"
+        )
+    lines += [
+        "",
+        "Interpretation:",
+        "",
+        "- The RQS kernel is elementwise with ~0.45 flop/B arithmetic",
+        "  intensity — the v5e ridge point is ~240 flop/B, so its ceiling",
+        "  is HBM bandwidth, not the MXU. % of roof is the honest",
+        "  speed-of-light figure for this op.",
+        "- The wide-RealNVP training step is matmul-dominated; its figure",
+        "  is MFU (model flops / peak). The demo-size configs (d=2,",
+        "  [16,16]) are dispatch/latency-bound and intentionally NOT",
+        "  presented as roofline evidence.",
+        "- The fused sampling kernel at d=2 moves only 16 B per sample",
+        "  through the flow; its % of HBM roof quantifies how close the",
+        "  one-kernel-launch path gets to pure-bandwidth sampling.",
+        "",
+        f"Device: `{rows[0]['device'] if rows else '?'}`.",
+    ]
+    MD_PATH.write_text("\n".join(lines) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    a = p.parse_args()
+
+    rows = []
+    rows.append(measure_rqs(n_elems=1 << (18 if a.quick else 22)))
+    print(json.dumps(rows[-1]), flush=True)
+    rows.append(measure_wide_train(batch=1024 if a.quick else 4096,
+                                   n=10 if a.quick else 30))
+    print(json.dumps(rows[-1]), flush=True)
+    rows.append(measure_wide_train(batch=1024 if a.quick else 4096,
+                                   compute_dtype=jnp.bfloat16,
+                                   n=10 if a.quick else 30))
+    print(json.dumps(rows[-1]), flush=True)
+    if jax.default_backend() == "tpu":
+        rows.append(measure_fused_sampling(
+            batch=32768 if a.quick else 262144))
+        print(json.dumps(rows[-1]), flush=True)
+    write_md(rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,7 @@ def main():
     if backend != "tpu":
         print("[validate] NOT a TPU backend; refusing to write sentinel",
               flush=True)
+        sys.exit(1)  # the compiled pallas_call below only lowers on TPU
 
     key = jax.random.key(0)
     flow = jax.jit(lambda k: nf.realnvp(k, DIM, HDIMS, nlayers=NLAYERS))(key)

@@ -47,6 +47,14 @@ from .models.coupling import (
     realnvp,
 )
 from .models.spline import NeuralSplineCoupling, NSF_layer, nsf
+from .models.autoregressive import (
+    MADE,
+    MaskedAutoregressive,
+    Permute,
+    iaf,
+    maf,
+    maf_layer,
+)
 from .models.planar_radial import (
     PlanarLayer,
     RadialLayer,
@@ -89,8 +97,10 @@ from .diagnostics import (
     elbo_with_sem,
     ess,
     evaluate_flow,
+    grid_total_variation,
     log_normalizer,
     log_weights,
+    sliced_wasserstein2,
 )
 
 __version__ = "0.1.0"
@@ -106,6 +116,7 @@ __all__ = [
     "create_flow", "MLP", "fnn", "mlp3",
     "AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp",
     "NeuralSplineCoupling", "NSF_layer", "nsf",
+    "MADE", "MaskedAutoregressive", "Permute", "iaf", "maf", "maf_layer",
     "PlanarLayer", "RadialLayer", "planarflow", "radialflow",
     "LeapFrog", "hamiltonian_flow", "momentum_normalization_layer",
     # targets
@@ -121,5 +132,6 @@ __all__ = [
     "config_from_json", "config_to_json",
     # diagnostics
     "FlowDiagnostics", "elbo_with_sem", "ess", "evaluate_flow",
-    "log_normalizer", "log_weights",
+    "grid_total_variation", "log_normalizer", "log_weights",
+    "sliced_wasserstein2",
 ]

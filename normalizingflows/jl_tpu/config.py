@@ -124,16 +124,18 @@ class TrainConfig:
         key = jax.random.key(self.seed)
         kb, kt = jax.random.split(key)
         flow = self.flow.build(kb)
-        return train_flow(
-            kt, vo, flow, target_logp, self.n_samples,
+        # overrides may replace config-set knobs, not just add new kwargs
+        kwargs: dict[str, Any] = dict(
             max_iters=self.max_iters,
             optimizer=self.optimizer.build(),
             train_base=self.train_base,
             check_every=self.check_every,
             show_progress=self.show_progress,
             unroll=self.unroll,
-            **overrides,
         )
+        kwargs.update(overrides)
+        return train_flow(kt, vo, flow, target_logp, self.n_samples,
+                          **kwargs)
 
 
 def _to_dict(cfg: Any) -> Any:

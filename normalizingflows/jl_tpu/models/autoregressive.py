@@ -153,7 +153,9 @@ class Permute(Bijector):
         return x[..., idx], _zero_log_det(x)
 
     def inverse_and_log_det(self, y):
-        inv = tuple(int(i) for i in jnp.argsort(jnp.asarray(self.perm)))
+        # inverse permutation computed statically in Python — jnp.argsort
+        # here would be a traced value and int() on it fails under jit
+        inv = tuple(sorted(range(len(self.perm)), key=self.perm.__getitem__))
         return y[..., jnp.asarray(inv)], _zero_log_det(y)
 
 

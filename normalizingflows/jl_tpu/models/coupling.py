@@ -51,15 +51,19 @@ class AffineCoupling(Bijector):
         hdims: Sequence[int],
         mask_idx: Sequence[int],
         dtype=jnp.float32,
+        compute_dtype=None,
     ) -> "AffineCoupling":
         """Constructor per reference `realnvp.jl:45-54`: conditioners map the
         complement (size dim−|A|) to the transformed set (size |A|); `s` gets
-        a tanh output activation."""
+        a tanh output activation. ``compute_dtype`` sets the conditioner
+        matmul precision policy (see `nets.Dense`)."""
         mask = PartitionMask.make(dim, mask_idx)
         c = mask.n_transformed
         ks, kt = jax.random.split(key)
-        s = fnn(ks, dim - c, hdims, c, output_activation=jnp.tanh, dtype=dtype)
-        t = fnn(kt, dim - c, hdims, c, dtype=dtype)
+        s = fnn(ks, dim - c, hdims, c, output_activation=jnp.tanh,
+                dtype=dtype, compute_dtype=compute_dtype)
+        t = fnn(kt, dim - c, hdims, c, dtype=dtype,
+                compute_dtype=compute_dtype)
         return AffineCoupling(s, t, mask)
 
     def forward_and_log_det(self, x):
@@ -78,13 +82,16 @@ class AffineCoupling(Bijector):
 
 
 def RealNVP_layer(
-    key: jax.Array, dim: int, hdims: Sequence[int], dtype=jnp.float32
+    key: jax.Array, dim: int, hdims: Sequence[int], dtype=jnp.float32,
+    compute_dtype=None,
 ) -> list[AffineCoupling]:
     """One RealNVP block: two couplings with complementary alternating masks
     (reference `realnvp.jl:132-145`, masks `1:2:d` and `2:2:d`)."""
     k1, k2 = jax.random.split(key)
-    c1 = AffineCoupling.make(k1, dim, hdims, range(0, dim, 2), dtype)
-    c2 = AffineCoupling.make(k2, dim, hdims, range(1, dim, 2), dtype)
+    c1 = AffineCoupling.make(k1, dim, hdims, range(0, dim, 2), dtype,
+                             compute_dtype)
+    c2 = AffineCoupling.make(k2, dim, hdims, range(1, dim, 2), dtype,
+                             compute_dtype)
     return [c1, c2]
 
 
@@ -152,6 +159,7 @@ def realnvp(
     scan: bool = True,
     fused: bool = False,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> TransformedDistribution:
     """RealNVP flow (reference `realnvp.jl:170-192`); ``q0`` may be a base
     distribution or an int dim (→ standard DiagNormal base). Defaults
@@ -173,7 +181,7 @@ def realnvp(
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
     pairs = [
-        RealNVP_layer(k, dim, hdims, dtype)
+        RealNVP_layer(k, dim, hdims, dtype, compute_dtype)
         for k in jax.random.split(key, nlayers)
     ]
     if fused:

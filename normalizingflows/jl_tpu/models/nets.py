@@ -36,30 +36,52 @@ def _glorot_uniform(key, in_dim, out_dim, dtype):
 
 @module
 class Dense(Module):
-    """One affine layer with activation: act(x @ W + b)."""
+    """One affine layer with activation: act(x @ W + b).
+
+    ``compute_dtype`` is the mixed-precision policy knob (SURVEY §7 hard
+    part 3): params stay in their stored dtype (master f32), but the matmul
+    operands are cast to ``compute_dtype`` (bf16 → one native MXU pass)
+    with f32 accumulation (`preferred_element_type`). Bias add, activation,
+    and everything downstream (log-dets) remain f32.
+    """
 
     W: jax.Array
     b: jax.Array
     activation: Callable | None = static_field(default=None)
+    compute_dtype: object = static_field(default=None)
 
     @staticmethod
-    def make(key, in_dim, out_dim, activation=None, dtype=jnp.float32):
+    def make(key, in_dim, out_dim, activation=None, dtype=jnp.float32,
+             compute_dtype=None):
         W = _glorot_uniform(key, in_dim, out_dim, dtype)
         b = jnp.zeros((out_dim,), dtype=dtype)
-        return Dense(W, b, activation)
+        return Dense(W, b, activation, compute_dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        # Full-precision matmul for f32/f64 params: TPU DEFAULT precision
-        # rounds f32 operands to bf16 on the MXU, which breaks the
-        # reference's exact-arithmetic density semantics (log-dets feed
-        # exp()). Conditioners are tiny, so HIGHEST is effectively free;
-        # passing bf16 params opts into fast MXU arithmetic explicitly.
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if self.W.dtype in (jnp.float32, jnp.float64)
-            else None
-        )
-        y = jnp.matmul(x, self.W, precision=prec) + self.b
+        if self.compute_dtype is not None:
+            # mixed precision: bf16 (or other) operands, f32 accumulate.
+            # XLA:CPU has no mixed-dtype dot thunk (bf16×bf16→f32), so off-
+            # TPU the product is taken in compute_dtype and upcast after —
+            # a static trace-time branch, not a runtime one.
+            pet = self.W.dtype if jax.default_backend() == "tpu" else None
+            y = jnp.matmul(
+                x.astype(self.compute_dtype),
+                self.W.astype(self.compute_dtype),
+                preferred_element_type=pet,
+            ).astype(self.W.dtype) + self.b
+        else:
+            # Full-precision matmul for f32/f64 params: TPU DEFAULT
+            # precision rounds f32 operands to bf16 on the MXU, which
+            # breaks the reference's exact-arithmetic density semantics
+            # (log-dets feed exp()). Conditioners are tiny, so HIGHEST is
+            # effectively free; passing bf16 params opts into fast MXU
+            # arithmetic explicitly.
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if self.W.dtype in (jnp.float32, jnp.float64)
+                else None
+            )
+            y = jnp.matmul(x, self.W, precision=prec) + self.b
         if self.activation is not None:
             y = self.activation(y)
         return y
@@ -93,17 +115,20 @@ def fnn(
     inlayer_activation: Callable = leaky_relu,
     output_activation: Callable | None = None,
     dtype=jnp.float32,
+    compute_dtype=None,
 ) -> MLP:
     """Fully-connected network, reference `fnn` (`src/flows/utils.jl:71-100`):
     hidden layers with ``inlayer_activation``, optional output activation
-    (e.g. tanh for the RealNVP log-scale head, `src/flows/realnvp.jl:50`)."""
+    (e.g. tanh for the RealNVP log-scale head, `src/flows/realnvp.jl:50`).
+    ``compute_dtype=jnp.bfloat16`` enables the mixed-precision matmul policy
+    (params stay ``dtype``; see `Dense`)."""
     dims = [input_dim, *hidden_dims, output_dim]
     keys = jax.random.split(key, len(dims) - 1)
     layers = []
     for i, (k, din, dout) in enumerate(zip(keys, dims[:-1], dims[1:])):
         last = i == len(dims) - 2
         act = output_activation if last else inlayer_activation
-        layers.append(Dense.make(k, din, dout, act, dtype))
+        layers.append(Dense.make(k, din, dout, act, dtype, compute_dtype))
     return MLP(tuple(layers))
 
 

@@ -23,6 +23,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import rqs
 from ..ops import rqs_pallas
@@ -31,7 +32,7 @@ from ..utils.pytree import module, static_field
 from .bijector import Bijector, Chain, stack_bijectors
 from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
-from .nets import MLP, fnn
+from .nets import MLP, Dense, fnn
 
 __all__ = ["NeuralSplineCoupling", "NSF_layer", "nsf"]
 
@@ -64,10 +65,28 @@ class NeuralSplineCoupling(Bijector):
         dtype=jnp.float32,
         backend: str = "auto",
         interpret: bool = False,
+        identity_init: bool = False,
     ) -> "NeuralSplineCoupling":
         mask = PartitionMask.make(dim, mask_idx)
         n_t = mask.n_transformed
         nn = fnn(key, dim - n_t, hdims, (3 * K - 1) * n_t, dtype=dtype)
+        if identity_init:
+            # Make the layer the exact identity at initialization: zero the
+            # final Dense (W=0, widths/heights softmax(0) → uniform knots,
+            # xs == ys) and bias the derivative slots so softplus recovers
+            # slope exactly 1 at every interior knot. Standard NSF practice
+            # (Durkan et al. 2019 reference impl); cures the enormous
+            # random-warp init loss (measured −202k ELBO on the hard-banana
+            # demo config) that poisons early Adam steps.
+            from ..ops.rqs import DEFAULT_MIN_DERIVATIVE
+
+            last = nn.layers[-1]
+            b = jnp.zeros_like(last.b).reshape(n_t, 3 * K - 1)
+            c = float(np.log(np.expm1(1.0 - DEFAULT_MIN_DERIVATIVE)))
+            b = b.at[:, 2 * K:].set(jnp.asarray(c, dtype))
+            last = Dense(jnp.zeros_like(last.W), b.reshape(-1),
+                         last.activation)
+            nn = MLP(nn.layers[:-1] + (last,))
         return NeuralSplineCoupling(nn, K, float(B), mask, backend, interpret)
 
     def _use_pallas(self) -> bool:
@@ -110,14 +129,15 @@ def NSF_layer(
     dtype=jnp.float32,
     backend: str = "auto",
     interpret: bool = False,
+    identity_init: bool = False,
 ) -> list[NeuralSplineCoupling]:
     """One NSF block: two spline couplings with complementary masks
     (reference `neuralspline.jl:169-184`)."""
     k1, k2 = jax.random.split(key)
     c1 = NeuralSplineCoupling.make(k1, dim, hdims, K, B, range(0, dim, 2),
-                                   dtype, backend, interpret)
+                                   dtype, backend, interpret, identity_init)
     c2 = NeuralSplineCoupling.make(k2, dim, hdims, K, B, range(1, dim, 2),
-                                   dtype, backend, interpret)
+                                   dtype, backend, interpret, identity_init)
     return [c1, c2]
 
 
@@ -132,18 +152,23 @@ def nsf(
     backend: str = "auto",
     scan: bool = True,
     interpret: bool = False,
+    identity_init: bool = False,
 ) -> TransformedDistribution:
     """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
 
     ``scan=True`` stacks the blocks into a `Repeated` lax.scan — one Pallas
     kernel call site regardless of depth (depth-independent compile).
     ``interpret=True`` runs the ``backend='pallas'`` path in Pallas interpret
-    mode so it works off-TPU (numerics cross-checks on CPU)."""
+    mode so it works off-TPU (numerics cross-checks on CPU).
+    ``identity_init=True`` zero-initializes every coupling's final conditioner
+    layer so the whole flow starts as the exact identity map — the stable
+    initialization of the Durkan et al. reference implementation."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
     blocks = [
-        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret))
+        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret,
+                        identity_init))
         for k in jax.random.split(key, nlayers)
     ]
     if scan and nlayers > 1:

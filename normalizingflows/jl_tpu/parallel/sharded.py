@@ -63,6 +63,11 @@ def shard_objective(
             mesh=mesh,
             in_specs=(P(), P()),
             out_specs=P(),
+            # pallas_call results carry no varying-mesh-axes metadata, so
+            # the static vma replication check cannot see through them
+            # (jax ≥ 0.8); collectives here are explicit (pmean), so the
+            # check adds nothing — disable it rather than fork the kernel
+            check_vma=False,
         )
         def run(key, flow):
             k = per_shard_key(key, axis_name)
@@ -93,7 +98,7 @@ def sample_sharded(
     local_n = n // ndev
 
     @partial(_shard_map, mesh=mesh, in_specs=(P(), P()),
-             out_specs=P(axis_name, None))
+             out_specs=P(axis_name, None), check_vma=False)
     def run(key, flow):
         k = per_shard_key(key, axis_name)
         return flow.sample(k, (local_n,))

@@ -61,6 +61,82 @@ def _default_optimizer() -> optax.GradientTransformation:
     return optax.adam(1e-3)
 
 
+def _drive_chunks(
+    run_chunk: Callable,
+    next_input: Callable[[jax.Array, int], Any],
+    flow: TransformedDistribution,
+    opt_state: Any,
+    key: jax.Array,
+    start_iter: int,
+    max_iters: int,
+    check_every: int,
+    callback: Callable | None,
+    hasconverged: Callable | None,
+    show_progress: bool,
+    label: str,
+) -> TrainResult:
+    """Shared host-side chunk driver for both training entry points.
+
+    Per chunk: ``inp = next_input(chunk_key, chunk)`` on the host (PRNG key
+    pass-through for reverse-KL; a stacked loader batch for MLE), then
+    ``run_chunk(flow, opt_state, inp, chunk)`` — one jitted lax.scan — and
+    the chunk-boundary bookkeeping the reference does per-iteration
+    (`src/optimize.jl:85-105`): stats, callback merge, convergence
+    predicate, progress line.
+    """
+    all_loss: list[np.ndarray] = []
+    all_gnorm: list[np.ndarray] = []
+    extra: dict[str, list] = {}
+    it = start_iter
+    converged = False
+    t0 = time.perf_counter()
+
+    while it < start_iter + max_iters and not converged:
+        chunk = min(check_every, start_iter + max_iters - it)
+        key, sub = jax.random.split(key)
+        flow, opt_state, losses, gnorms = run_chunk(
+            flow, opt_state, next_input(sub, chunk), chunk
+        )
+        losses = np.asarray(losses)
+        gnorms = np.asarray(gnorms)
+        all_loss.append(losses)
+        all_gnorm.append(gnorms)
+        it += chunk
+
+        stat = {
+            "iteration": it,
+            "loss": float(losses[-1]),
+            "gradient_norm": float(gnorms[-1]),
+        }
+        if callback is not None:
+            merged = callback(it, stat, flow)
+            if merged:
+                stat.update(merged)
+                for k, v in merged.items():
+                    extra.setdefault(k, []).append(v)
+        if hasconverged is not None:
+            converged = bool(hasconverged(it, stat, flow, opt_state))
+        if show_progress:
+            rate = it / max(time.perf_counter() - t0, 1e-9)
+            print(
+                f"[{label}] iter {it:>7d}  loss {stat['loss']:+.6f}  "
+                f"|g| {stat['gradient_norm']:.3e}  ({rate:.1f} it/s)",
+                flush=True,
+            )
+
+    loss_arr = np.concatenate(all_loss) if all_loss else np.zeros((0,))
+    gnorm_arr = np.concatenate(all_gnorm) if all_gnorm else np.zeros((0,))
+    stats = {
+        "iteration": np.arange(start_iter + 1,
+                               start_iter + 1 + len(loss_arr)),
+        "loss": loss_arr,
+        "gradient_norm": gnorm_arr,
+    }
+    for k, v in extra.items():
+        stats[k] = np.asarray(v)
+    return TrainResult(flow, stats, TrainState(flow, opt_state, it))
+
+
 def train_flow(
     key: jax.Array,
     objective: Callable[..., jax.Array],
@@ -138,57 +214,10 @@ def train_flow(
         )
         return f, st, losses, gnorms
 
-    all_loss: list[np.ndarray] = []
-    all_gnorm: list[np.ndarray] = []
-    extra: dict[str, list] = {}
-    it = start_iter
-    converged = False
-    t0 = time.perf_counter()
-
-    while it < start_iter + max_iters and not converged:
-        chunk = min(check_every, start_iter + max_iters - it)
-        key, sub = jax.random.split(key)
-        flow, opt_state, losses, gnorms = run_chunk(
-            flow, opt_state, sub, chunk
-        )
-        losses = np.asarray(losses)
-        gnorms = np.asarray(gnorms)
-        all_loss.append(losses)
-        all_gnorm.append(gnorms)
-        it += chunk
-
-        stat = {
-            "iteration": it,
-            "loss": float(losses[-1]),
-            "gradient_norm": float(gnorms[-1]),
-        }
-        if callback is not None:
-            merged = callback(it, stat, flow)
-            if merged:
-                stat.update(merged)
-                for k, v in merged.items():
-                    extra.setdefault(k, []).append(v)
-        if hasconverged is not None:
-            converged = bool(hasconverged(it, stat, flow, opt_state))
-        if show_progress:
-            rate = it / max(time.perf_counter() - t0, 1e-9)
-            print(
-                f"[train_flow] iter {it:>7d}  loss {stat['loss']:+.6f}  "
-                f"|g| {stat['gradient_norm']:.3e}  ({rate:.1f} it/s)",
-                flush=True,
-            )
-
-    loss_arr = np.concatenate(all_loss) if all_loss else np.zeros((0,))
-    gnorm_arr = np.concatenate(all_gnorm) if all_gnorm else np.zeros((0,))
-    stats = {
-        "iteration": np.arange(start_iter + 1, start_iter + 1 + len(loss_arr)),
-        "loss": loss_arr,
-        "gradient_norm": gnorm_arr,
-    }
-    for k, v in extra.items():
-        stats[k] = np.asarray(v)
-    return TrainResult(
-        flow, stats, TrainState(flow, opt_state, it)
+    return _drive_chunks(
+        run_chunk, lambda sub, chunk: sub, flow, opt_state, key, start_iter,
+        max_iters, check_every, callback, hasconverged, show_progress,
+        "train_flow",
     )
 
 
@@ -201,6 +230,8 @@ def train_flow_mle(
     check_every: int = 100,
     show_progress: bool = False,
     callback: Callable | None = None,
+    hasconverged: Callable[[int, dict, TransformedDistribution, Any], bool]
+    | None = None,
     unroll: int = 1,
     resume_state: TrainState | None = None,
 ) -> TrainResult:
@@ -212,6 +243,8 @@ def train_flow_mle(
     C++ prefetching `NativeLoader` or the numpy fallback). Each chunk of
     ``check_every`` minibatches is transferred once and scanned on-device;
     the loss is the negated mean log-likelihood (density path §3.4).
+    Shares the chunk driver (stats/callback/convergence/progress) with
+    `train_flow` — only the per-chunk input source differs.
     """
     from .objectives import loglikelihood
 
@@ -238,47 +271,17 @@ def train_flow_mle(
         f = optax.apply_updates(f, updates)
         return (f, st), (loss_val, gnorm)
 
-    @jax.jit
-    def run_chunk(f, st, batches):
+    @partial(jax.jit, static_argnums=3)
+    def run_chunk(f, st, batches, chunk):
         (f, st), (losses, gnorms) = jax.lax.scan(train_step, (f, st),
                                                  batches, unroll=unroll)
         return f, st, losses, gnorms
 
-    all_loss, all_gnorm = [], []
-    it = start_iter
-    t0 = time.perf_counter()
-    while it < start_iter + max_iters:
-        chunk = min(check_every, start_iter + max_iters - it)
-        batches = jnp.asarray(loader.next_batches(chunk))
-        flow, opt_state, losses, gnorms = run_chunk(flow, opt_state,
-                                                    batches)
-        all_loss.append(np.asarray(losses))
-        all_gnorm.append(np.asarray(gnorms))
-        it += chunk
-        stat = {
-            "iteration": it,
-            "loss": float(all_loss[-1][-1]),
-            "gradient_norm": float(all_gnorm[-1][-1]),
-        }
-        if callback is not None:
-            callback(it, stat, flow)
-        if show_progress:
-            rate = it / max(time.perf_counter() - t0, 1e-9)
-            print(
-                f"[train_flow_mle] iter {it:>7d}  nll {stat['loss']:+.6f}"
-                f"  |g| {stat['gradient_norm']:.3e}  ({rate:.1f} it/s)",
-                flush=True,
-            )
-
-    loss_arr = np.concatenate(all_loss) if all_loss else np.zeros((0,))
-    gnorm_arr = np.concatenate(all_gnorm) if all_gnorm else np.zeros((0,))
-    stats = {
-        "iteration": np.arange(start_iter + 1,
-                               start_iter + 1 + len(loss_arr)),
-        "loss": loss_arr,
-        "gradient_norm": gnorm_arr,
-    }
-    return TrainResult(flow, stats, TrainState(flow, opt_state, it))
+    return _drive_chunks(
+        run_chunk, lambda sub, chunk: jnp.asarray(loader.next_batches(chunk)),
+        flow, opt_state, jax.random.key(0), start_iter, max_iters,
+        check_every, callback, hasconverged, show_progress, "train_flow_mle",
+    )
 
 
 def optimize(

@@ -72,3 +72,39 @@ def test_jit_and_trained_flow_improves():
     )
     assert float(after.elbo) > float(before.elbo)
     assert float(after.ess) > float(before.ess)
+
+
+def test_sliced_wasserstein2_identity_and_shift():
+    key = jax.random.key(0)
+    k1, k2, k3, kp = jax.random.split(key, 4)
+    d, n = 4, 8192
+    xs = jax.random.normal(k1, (n, d))
+    ys = jax.random.normal(k2, (n, d))
+    same = float(nf.sliced_wasserstein2(kp, xs, ys))
+    assert same < 0.1  # MC floor for identical distributions
+
+    # For equal-covariance Gaussians W2(θᵀx, θᵀy) = |θᵀΔμ|, so
+    # SW2 = sqrt(E_θ[(θᵀΔμ)²]) = |Δμ|/√d
+    mu = jnp.array([2.0, 0.0, 0.0, 0.0])
+    zs = jax.random.normal(k3, (n, d)) + mu
+    shifted = float(nf.sliced_wasserstein2(kp, xs, zs))
+    expected = float(jnp.linalg.norm(mu)) / d ** 0.5
+    assert abs(shifted - expected) < 0.15
+    assert shifted > 5 * same
+
+
+def test_grid_total_variation_bounds():
+    key = jax.random.key(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 65536
+    xs = jax.random.normal(k1, (n, 2))
+    ys = jax.random.normal(k2, (n, 2))
+    same = float(nf.grid_total_variation(xs, ys))
+    assert 0.0 <= same < 0.1  # MC floor ~ sqrt(bins^2/n)/2
+
+    zs = jax.random.normal(k3, (n, 2)) + jnp.array([10.0, 0.0])
+    far = float(nf.grid_total_variation(xs, zs))
+    assert far > 0.95  # disjoint supports → TV → 1
+
+    with pytest.raises(ValueError):
+        nf.grid_total_variation(jnp.zeros((10, 3)), jnp.zeros((10, 3)))

@@ -22,6 +22,7 @@ DEMOS = [
     "demo_realnvp",
     "demo_neural_spline_flow",
     "demo_hamiltonian_flow",
+    "demo_maf_mle",
 ]
 
 

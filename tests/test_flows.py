@@ -36,15 +36,23 @@ def make_flow(name, key, dtype):
     if name == "radial":
         return nf.radialflow(key, nf.DiagNormal.standard(DIM, dtype),
                              nlayers=10, dtype=dtype)
+    if name == "maf":
+        return nf.maf(key, nf.DiagNormal.standard(DIM, dtype), (32, 32),
+                      nlayers=3, dtype=dtype)
+    if name == "iaf":
+        return nf.iaf(key, nf.DiagNormal.standard(DIM, dtype), (32, 32),
+                      nlayers=3, dtype=dtype)
     raise ValueError(name)
 
 
-FLOWS = ["realnvp", "nsf", "planar", "radial"]
+FLOWS = ["realnvp", "nsf", "planar", "radial", "maf", "iaf"]
 
 
 def rtol_for(name, dtype):
     if dtype == jnp.float64:
-        return 1e-6 if name == "realnvp" else 1e-4
+        # maf/iaf inverses are exact after `dim` fixed-point sweeps
+        # (strictly triangular dependency) — same tier as analytic RealNVP
+        return 1e-6 if name in ("realnvp", "maf", "iaf") else 1e-4
     return 1e-4  # float32 tier
 
 
@@ -106,7 +114,7 @@ def test_elbo_gradients_finite(name, key):
     assert jnp.isfinite(gn) and gn > 0.0
 
 
-@pytest.mark.parametrize("name", ["realnvp", "nsf"])
+@pytest.mark.parametrize("name", ["realnvp", "nsf", "maf", "iaf"])
 def test_log_prob_gradients_finite(name, key):
     """Gradients through the INVERSE path (forward-KL training)."""
     dtype = jnp.float32
@@ -132,3 +140,29 @@ def test_jit_compilation(key):
     v1 = f(flow, jax.random.key(0))
     v2 = f(flow, jax.random.key(0))
     assert jnp.allclose(v1, v2)
+
+
+@pytest.mark.parametrize("name", ["maf", "iaf"])
+def test_autoregressive_jitted_both_directions(name, key):
+    """Both log_prob (Permute.inverse path) and sample compile and run
+    under jit — regression test for the traced-argsort inverse-permutation
+    crash (autoregressive.py Permute.inverse_and_log_det)."""
+    flow = make_flow(name, key, jnp.float32)
+    ys = jax.jit(lambda k: flow.sample(k, (16,)))(jax.random.key(1))
+    lp = jax.jit(flow.log_prob)(ys)
+    assert ys.shape == (16, DIM) and lp.shape == (16,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_autoregressive_logdet_vs_autodiff_jacobian(key):
+    """MaskedAutoregressive log-det matches the exact autodiff Jacobian,
+    and the Jacobian is triangular in the MADE ordering (MADE mask proof)."""
+    layer = nf.maf_layer(key, DIM, (16, 16), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.key(2), (DIM,), jnp.float64)
+    y, ld = layer.forward_and_log_det(x)
+    J = jax.jacfwd(lambda v: layer.forward_and_log_det(v)[0])(x)
+    # strictly upper-triangular part must be exactly zero: output i depends
+    # only on inputs j <= i (diagonal is the elementwise affine scale)
+    assert bool(jnp.all(jnp.triu(J, k=1) == 0.0))
+    ld_exact = jnp.sum(jnp.log(jnp.abs(jnp.diag(J))))
+    assert jnp.allclose(ld, ld_exact, rtol=1e-10)

@@ -90,6 +90,25 @@ def test_fused_train_matches_optax(setup):
     )
 
 
+def test_fused_train_multi_chunk_matches_single(setup):
+    """chunk < n_steps exercises the weight/Adam-moment threading between
+    kernel launches and the global-step bias correction (step0): the
+    trajectory must be identical to one single-chunk launch."""
+    _, fused, target, xs = setup
+    fb = fused.bijector.bijectors[0]
+    args = (xs, fb.groups, fb.idx_even, fb.idx_odd,
+            _banana_logp_static(target), fused.base.loc, fused.base.scale,
+            LR)
+    groups_1, losses_1 = adam_train_realnvp_fused(*args, interpret=True)
+    groups_8, losses_8 = adam_train_realnvp_fused(*args, interpret=True,
+                                                  chunk=8)
+    assert jnp.allclose(losses_1, losses_8, rtol=1e-6, atol=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), groups_1, groups_8
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-6
+
+
 def test_train_realnvp_fused_api(setup):
     _, fused, target, _ = setup
     result = nf.train_realnvp_fused(
