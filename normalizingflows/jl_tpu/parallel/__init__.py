@@ -1,7 +1,14 @@
 """Multi-chip execution: mesh construction, batch-sharded objectives and
 sampling, per-shard PRNG, and multi-host initialization."""
 
-from .distributed import host_count, host_index, initialize, is_multi_host
+from .distributed import (
+    barrier,
+    detect_cluster_env,
+    host_count,
+    host_index,
+    initialize,
+    is_multi_host,
+)
 from .mesh import (
     BATCH_AXIS,
     batch_mesh,
@@ -20,6 +27,8 @@ __all__ = [
     "shard_objective",
     "initialize",
     "is_multi_host",
+    "barrier",
+    "detect_cluster_env",
     "host_count",
     "host_index",
 ]
