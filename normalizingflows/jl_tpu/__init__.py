@@ -76,12 +76,14 @@ from .objectives import (
     elbo_stl,
     loglikelihood,
     presample_base,
+    tempered,
 )
 from .train import (
     TrainResult,
     TrainState,
     optimize,
     train_flow,
+    train_flow_annealed,
     train_flow_mle,
     train_realnvp_fused,
 )
@@ -124,9 +126,10 @@ __all__ = [
     # objectives
     "elbo", "elbo_batch", "elbo_from_samples", "elbo_iw",
     "elbo_single_sample", "elbo_stl", "loglikelihood", "presample_base",
+    "tempered",
     # training
-    "TrainResult", "TrainState", "optimize", "train_flow", "train_flow_mle",
-    "train_realnvp_fused",
+    "TrainResult", "TrainState", "optimize", "train_flow",
+    "train_flow_annealed", "train_flow_mle", "train_realnvp_fused",
     # configs
     "FlowConfig", "OptimizerConfig", "TrainConfig",
     "config_from_json", "config_to_json",

@@ -43,6 +43,7 @@ __all__ = [
     "elbo_stl",
     "presample_base",
     "loglikelihood",
+    "tempered",
 ]
 
 LogDensity = Callable[[jax.Array], jax.Array]
@@ -185,3 +186,31 @@ def loglikelihood(
     logdet density path (call stack §3.4).
     """
     return jnp.mean(flow.log_prob(xs))
+
+
+def tempered(
+    objective: Callable[..., jax.Array],
+    ref_logp: LogDensity,
+) -> Callable[..., jax.Array]:
+    """Lift an ELBO-style objective onto the geometric annealing path.
+
+    Returns ``vo(inp, flow, logp, n, beta)`` targeting the tempered density
+    ``log p_β(x) = (1−β)·log q_ref(x) + β·log p(x)`` — at β=0 the target IS
+    the reference (typically the flow's base, so the initial problem is
+    trivial), at β=1 it is the true target. Annealing the β argument over
+    training segments (`train.train_flow_annealed`) walks the flow along a
+    connected density path, avoiding the gradient deserts of direct
+    reverse-KL on far-separated targets. β is a traced scalar: every
+    segment reuses one compiled step.
+
+    New capability (no reference counterpart); standard tempered/annealed
+    VI (e.g. Neal 2001 AIS geometric path).
+    """
+
+    def vo(inp, flow, logp, n, beta):
+        def lp(x):
+            return (1.0 - beta) * ref_logp(x) + beta * logp(x)
+
+        return objective(inp, flow, lp, n)
+
+    return vo

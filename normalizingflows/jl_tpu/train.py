@@ -35,8 +35,8 @@ from .models.distributions import TransformedDistribution
 from .utils.pytree import apply_mask, global_norm, trainable_mask
 
 __all__ = [
-    "train_flow", "train_flow_mle", "train_realnvp_fused", "optimize",
-    "TrainResult", "TrainState",
+    "train_flow", "train_flow_mle", "train_flow_annealed",
+    "train_realnvp_fused", "optimize", "TrainResult", "TrainState",
 ]
 
 
@@ -282,6 +282,64 @@ def train_flow_mle(
         flow, opt_state, jax.random.key(0), start_iter, max_iters,
         check_every, callback, hasconverged, show_progress, "train_flow_mle",
     )
+
+
+def train_flow_annealed(
+    key: jax.Array,
+    objective: Callable[..., jax.Array],
+    flow: TransformedDistribution,
+    logp: Callable[[jax.Array], jax.Array],
+    n_samples: int,
+    *,
+    n_betas: int = 10,
+    iters_per_beta: int = 500,
+    final_iters: int | None = None,
+    ref_logp: Callable[[jax.Array], jax.Array] | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+    **kwargs: Any,
+) -> TrainResult:
+    """Annealed (tempered-path) reverse-KL training.
+
+    Trains against ``log p_β = (1−β)·log q_ref + β·log p`` for β ramping
+    linearly over ``n_betas`` segments of ``iters_per_beta`` iterations,
+    then ``final_iters`` (default ``iters_per_beta``) at β=1. ``q_ref``
+    defaults to the flow's base distribution, so the β=0 problem is the
+    identity map. Optimizer state and the compiled train step carry across
+    segments (β is a traced scalar argument — one compile total).
+
+    Use when direct reverse-KL stalls in a gradient desert between the
+    init and the target's mass (far-separated or heavily warped targets).
+    New capability; geometric path per standard annealed VI / AIS.
+    """
+    from .objectives import tempered
+
+    optimizer = optimizer or _default_optimizer()
+    ref = ref_logp if ref_logp is not None else flow.base.log_prob
+    vo = tempered(objective, ref)
+
+    betas = [j / n_betas for j in range(1, n_betas + 1)]
+    state: TrainState | None = kwargs.pop("resume_state", None)
+    all_stats: list[dict] = []
+    for j, beta in enumerate(betas):
+        iters = (final_iters if final_iters is not None else
+                 iters_per_beta) if j == n_betas - 1 else iters_per_beta
+        key, sub = jax.random.split(key)
+        res = train_flow(
+            sub, vo, flow, logp, n_samples,
+            jnp.asarray(beta, jnp.result_type(float)),
+            max_iters=iters, optimizer=optimizer, resume_state=state,
+            **kwargs,
+        )
+        flow, state = res.flow, res.state
+        stats = dict(res.stats)
+        stats["beta"] = np.full((len(stats["loss"]),), beta)
+        all_stats.append(stats)
+
+    merged = {
+        k: np.concatenate([s[k] for s in all_stats])
+        for k in all_stats[0]
+    }
+    return TrainResult(flow, merged, state)
 
 
 def optimize(
