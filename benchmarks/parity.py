@@ -75,7 +75,10 @@ def _figure(name, trained, untrained, target_samples):
     path = FIG_DIR / f"{name}.png"
     fig.savefig(path, dpi=110)
     plt.close(fig)
-    return str(path.relative_to(HERE))
+    try:
+        return str(path.relative_to(HERE))  # md-relative link
+    except ValueError:  # FIG_DIR redirected (tests)
+        return str(path)
 
 
 def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
