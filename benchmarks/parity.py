@@ -379,7 +379,10 @@ def report():
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workload", choices=[*WORKLOADS, "all"], default=None)
+    p.add_argument("--workload", default=None,
+                   help="one of %s, 'all', or a comma-separated list "
+                        "(one process = one TPU-tunnel connection)"
+                        % ", ".join(WORKLOADS))
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--quick", action="store_true",
                    help="CI-speed iteration counts")
@@ -389,7 +392,11 @@ def main():
     if a.report:
         report()
         return
-    names = list(WORKLOADS) if a.workload in (None, "all") else [a.workload]
+    names = (list(WORKLOADS) if a.workload in (None, "all")
+             else a.workload.split(","))
+    unknown = [n for n in names if n not in WORKLOADS]
+    if unknown:
+        p.error(f"unknown workload(s): {unknown}")
     for name in names:
         fn, full, quick = WORKLOADS[name]
         iters = a.iters or (quick if a.quick else full)

@@ -84,8 +84,10 @@ def rqs_flops_bytes(K: int):
     return flops_per, bytes_per
 
 
-def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0):
-    """Achieved HBM bandwidth of the fused RQS kernel at NSF-demo K."""
+def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0,
+                interpret: bool = False):
+    """Achieved HBM bandwidth of the fused RQS kernel at NSF-demo K.
+    ``interpret=True`` exists only to smoke-test the harness off-TPU."""
     kx, kr = jax.random.split(jax.random.key(0))
     x = jax.random.uniform(kx, (n_elems,), jnp.float32, -B, B)
     raw = jax.random.normal(kr, (n_elems, 3 * K - 1), jnp.float32)
@@ -95,7 +97,8 @@ def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0):
         def body(c, k):
             # vary x each pass (cheap elementwise) so XLA can't CSE passes
             xi = x * jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
-            y, ld = rqs_pallas.rqs_fused(xi, raw, B, inverse=False)
+            y, ld = rqs_pallas.rqs_fused(xi, raw, B, inverse=False,
+                                         interpret=interpret)
             return c + y[0] + ld[0], None
 
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
