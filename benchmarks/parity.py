@@ -87,13 +87,17 @@ def _run(name, flow, target_logp, target_sampler, objective, n_per_iter,
     key = jax.random.key(seed)
     ke, kt, km1, km2 = jax.random.split(key, 4)
 
+    # jitted eval: one compiled program instead of hundreds of individually
+    # dispatched ops — on a tunneled TPU each eager op is a remote call
+    eval_jit = jax.jit(
+        lambda k, f: nf.elbo_batch(k, f, target_logp, n_eval))
+
     def eval_elbo(f, k0):
         # mean ± sem over eval_reps independent estimates (heavy-tailed
         # targets like the funnel have per-estimate stdev ~1 nat even at
         # 16k samples — a single estimate can fake a training regression)
         vals = [
-            float(nf.elbo_batch(jax.random.fold_in(k0, r), f, target_logp,
-                                n_eval))
+            float(eval_jit(jax.random.fold_in(k0, r), f))
             for r in range(eval_reps)
         ]
         mean = sum(vals) / len(vals)
@@ -179,9 +183,10 @@ def planar(iters):
     jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64
     t = nf.Banana(2, jnp.asarray(1.0, dtype), jnp.asarray(10.0, dtype))
-    flow = nf.planarflow(jax.random.key(0),
-                         nf.DiagNormal.standard(2, dtype), nlayers=10,
-                         dtype=dtype)
+    flow = jax.jit(
+        lambda k: nf.planarflow(k, nf.DiagNormal.standard(2, dtype),
+                                nlayers=10, dtype=dtype)
+    )(jax.random.key(0))
     return _run("planar_banana_easy", flow, t.log_prob,
                 lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 32,
                 optax.adam(1e-2), iters, max(iters // 10, 1), dtype=dtype)
@@ -193,9 +198,10 @@ def radial(iters):
     jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64
     t = nf.WarpedGauss(jnp.asarray(1.0, dtype), jnp.asarray(0.12, dtype))
-    flow = nf.radialflow(jax.random.key(0),
-                         nf.DiagNormal.standard(2, dtype), nlayers=10,
-                         dtype=dtype)
+    flow = jax.jit(
+        lambda k: nf.radialflow(k, nf.DiagNormal.standard(2, dtype),
+                                nlayers=10, dtype=dtype)
+    )(jax.random.key(0))
     return _run("radial_warpedgauss", flow, t.log_prob,
                 lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 32,
                 optax.adam(1e-2), iters, max(iters // 10, 1), dtype=dtype)
@@ -240,8 +246,10 @@ def hamiltonian(iters):
     dtype = jnp.float64
     dim = 2
     t = nf.Funnel(dim, jnp.asarray(-8.0, dtype), jnp.asarray(5.0, dtype))
-    flow = nf.hamiltonian_flow(dim, t.score, n_blocks=15, L=3, eps0=0.05,
-                               dtype=dtype)
+    flow = jax.jit(
+        lambda _: nf.hamiltonian_flow(dim, t.score, n_blocks=15, L=3,
+                                      eps0=0.05, dtype=dtype)
+    )(0)
     lp = joint_logp(t.log_prob, dim)
 
     def sample_joint_x(k, n):
