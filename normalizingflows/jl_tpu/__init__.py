@@ -47,6 +47,7 @@ from .models.coupling import (
     realnvp,
 )
 from .models.spline import NeuralSplineCoupling, NSF_layer, nsf
+from .models.linear import ActNorm, InvertibleLinear
 from .models.autoregressive import (
     MADE,
     MaskedAutoregressive,
@@ -119,6 +120,7 @@ __all__ = [
     "AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp",
     "NeuralSplineCoupling", "NSF_layer", "nsf",
     "MADE", "MaskedAutoregressive", "Permute", "iaf", "maf", "maf_layer",
+    "ActNorm", "InvertibleLinear",
     "PlanarLayer", "RadialLayer", "planarflow", "radialflow",
     "LeapFrog", "hamiltonian_flow", "momentum_normalization_layer",
     # targets
