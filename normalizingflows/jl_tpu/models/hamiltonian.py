@@ -146,7 +146,9 @@ def hamiltonian_flow(
         Scale(jnp.ones((2 * dim,), dtype)),
         Shift(jnp.zeros((2 * dim,), dtype)),
     ]
-    log_eps0 = float(jnp.log(jnp.asarray(eps0)))
+    import math
+
+    log_eps0 = math.log(eps0)  # host-side: traceable under jit-construction
     blocks = [
         Chain((
             LeapFrog.make(dim, log_eps0, L, score_fn, dtype),
