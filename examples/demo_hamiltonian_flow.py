@@ -28,8 +28,10 @@ def main(max_iters: int, seed: int = 123):
     dim = 2
 
     target = nf.Funnel(dim, jnp.asarray(-8.0, dtype), jnp.asarray(5.0, dtype))
-    flow = nf.hamiltonian_flow(dim, target.score, n_blocks=15, L=3,
-                               eps0=0.05, dtype=dtype)
+    flow = jax.jit(
+        lambda _: nf.hamiltonian_flow(dim, target.score, n_blocks=15, L=3,
+                                      eps0=0.05, dtype=dtype)
+    )(0)  # jit-construct: one device program, not per-leaf transfers
     lp = joint_logp(target.log_prob, dim)
 
     before = float(nf.elbo_batch(key, flow, lp, 512))

@@ -26,8 +26,10 @@ def main(max_iters: int, seed: int = 123):
 
     target = nf.WarpedGauss(jnp.asarray(1.0, dtype), jnp.asarray(0.12, dtype))
     kf, kt = jax.random.split(key)
-    flow = nf.radialflow(kf, nf.DiagNormal.standard(2, dtype),
-                         nlayers=10, dtype=dtype)
+    flow = jax.jit(
+        lambda k: nf.radialflow(k, nf.DiagNormal.standard(2, dtype),
+                                nlayers=10, dtype=dtype)
+    )(kf)
 
     before = float(nf.elbo_batch(kt, flow, target.log_prob, 1024))
     res = nf.train_flow(
