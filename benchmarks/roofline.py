@@ -92,8 +92,11 @@ def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0,
     x = jax.random.uniform(kx, (n_elems,), jnp.float32, -B, B)
     raw = jax.random.normal(kr, (n_elems, 3 * K - 1), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def run(key, m):
+    # x/raw must be explicit ARGUMENTS: a closed-over device array is
+    # embedded in the program as a constant, and on a remote-compile
+    # backend a ~0.5 GB constant blows the compile-request size limit
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(x, raw, key, m):
         def body(c, k):
             # vary x each pass (cheap elementwise) so XLA can't CSE passes
             xi = x * jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
@@ -104,7 +107,7 @@ def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0,
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
         return acc
 
-    per_pass = _slope_time(lambda m: run(jax.random.key(1), m), 4, 12)
+    per_pass = _slope_time(lambda m: run(x, raw, jax.random.key(1), m), 4, 12)
     flops_per, bytes_per = rqs_flops_bytes(K)
     gbps = n_elems * bytes_per / per_pass / 1e9
     return {

@@ -1,0 +1,73 @@
+"""RQS kernel tuning experiments: oracle-vs-kernel at large N, BLK sweep.
+
+Scratch harness behind the ROOFLINE.md numbers — run on a real TPU:
+    PYTHONPATH=.:/root/.axon_site python benchmarks/rqs_tune.py
+"""
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from normalizingflows.jl_tpu.ops import rqs as oracle
+from normalizingflows.jl_tpu.ops import rqs_pallas
+
+
+def slope_time(fn, n1=4, n2=12, reps=3):
+    def timed(m):
+        best = float("inf")
+        for i in range(reps + 1):
+            t0 = time.perf_counter()
+            float(jnp.ravel(fn(m))[0])
+            if i:
+                best = min(best, time.perf_counter() - t0)
+        return best
+    t1, t2 = timed(n1), timed(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-12)
+
+
+def bench(name, transform, n, K, B=30.0):
+    kx, kr = jax.random.split(jax.random.key(0))
+    x = jax.random.uniform(kx, (n,), jnp.float32, -B, B)
+    raw = jax.random.normal(kr, (n, 3 * K - 1), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(x, raw, key, m):
+        def body(c, k):
+            xi = x * jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
+            y, ld = transform(xi, raw)
+            return c + y[0] + ld[0], None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
+        return acc
+
+    per_pass = slope_time(lambda m: run(x, raw, jax.random.key(1), m))
+    bytes_per = 4 * (1 + (3 * K - 1) + 2)
+    gbps = n * bytes_per / per_pass / 1e9
+    print(f"{name:32s} n={n:>9d} K={K}  {n/per_pass/1e9:8.3f} Gelem/s  "
+          f"{gbps:7.1f} GB/s ({100*gbps/819:.1f}% HBM)", flush=True)
+    return gbps
+
+
+def oracle_transform(x, raw):
+    # params-from-raw + forward, all in XLA
+    B = 30.0
+    K = (raw.shape[-1] + 1) // 3
+    px, py, d = oracle.rqs_params_from_raw(raw, B)
+    return oracle.rqs_forward(x, px, py, d)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1 << 22)
+    p.add_argument("--K", type=int, default=10)
+    a = p.parse_args()
+
+    bench("oracle (XLA)", oracle_transform, a.n, a.K)
+    bench("pallas BLK=256", functools.partial(
+        rqs_pallas.rqs_fused, B=30.0), a.n, a.K)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ from .models.coupling import (
     realnvp,
 )
 from .models.spline import NeuralSplineCoupling, NSF_layer, nsf
-from .models.linear import ActNorm, InvertibleLinear
+from .models.linear import ActNorm, InvertibleLinear, glow, glow_init_actnorms
 from .models.autoregressive import (
     MADE,
     MaskedAutoregressive,
@@ -120,7 +120,7 @@ __all__ = [
     "AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp",
     "NeuralSplineCoupling", "NSF_layer", "nsf",
     "MADE", "MaskedAutoregressive", "Permute", "iaf", "maf", "maf_layer",
-    "ActNorm", "InvertibleLinear",
+    "ActNorm", "InvertibleLinear", "glow", "glow_init_actnorms",
     "PlanarLayer", "RadialLayer", "planarflow", "radialflow",
     "LeapFrog", "hamiltonian_flow", "momentum_normalization_layer",
     # targets

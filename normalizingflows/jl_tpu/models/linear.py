@@ -23,6 +23,8 @@ TPU design notes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 
 import jax
@@ -31,7 +33,7 @@ import jax.numpy as jnp
 from ..utils.pytree import module, static_field
 from .bijector import Bijector
 
-__all__ = ["ActNorm", "InvertibleLinear"]
+__all__ = ["ActNorm", "InvertibleLinear", "glow", "glow_init_actnorms"]
 
 
 @module
@@ -81,11 +83,17 @@ class InvertibleLinear(Bijector):
     sign_s: tuple = static_field(default=())    # frozen signs of s
 
     @staticmethod
-    def make(key: jax.Array, dim: int, dtype=jnp.float32
+    def make(key: "jax.Array | int", dim: int, dtype=jnp.float32
              ) -> "InvertibleLinear":
         """Initialize W as a random rotation (logdet 0), PLU-decomposed
-        host-side so P is static."""
-        a = jax.random.normal(key, (dim, dim), jnp.float32)
+        host-side so P is static. The rotation draw happens on the HOST
+        (the permutation/sign structure must be static), so ``key`` must
+        be concrete — or pass a plain int seed, which works under jit
+        tracing too (the PLU factors become traced-in constants)."""
+        if isinstance(key, (int, np.integer)):
+            a = np.random.default_rng(int(key)).normal(size=(dim, dim))
+        else:
+            a = np.asarray(jax.random.normal(key, (dim, dim), jnp.float32))
         q, _ = np.linalg.qr(np.asarray(a, np.float64))
         import scipy.linalg
 
@@ -135,3 +143,56 @@ class InvertibleLinear(Bijector):
     def _inv_perm(self):
         return tuple(sorted(range(len(self.perm)),
                             key=self.perm.__getitem__))
+
+
+def glow(
+    key: jax.Array,
+    q0,
+    hdims: Sequence[int] = (32, 32),
+    nlayers: int = 3,
+    dtype=jnp.float32,
+    compute_dtype=None,
+):
+    """Glow-style flow for flat vectors: ``nlayers`` blocks of
+    ActNorm → InvertibleLinear (PLU mixing) → RealNVP coupling pair.
+
+    No reference counterpart (Kingma & Dhariwal 2018 applied to the
+    reference's flat-vector setting). The learned dense mixing replaces
+    Glow's invertible 1×1 conv — one (d×d) matmul per block keeps the
+    layer MXU-native while letting every dimension condition on every
+    other, instead of only across the fixed even/odd partition.
+
+    ActNorms start as the identity; call :func:`glow_init_actnorms` with a
+    base-sample batch for Glow's data-dependent initialization. ``q0`` may
+    be a base distribution or an int dim.
+    """
+    from .coupling import RealNVP_layer
+    from .distributions import DiagNormal
+    from .flows import create_flow
+
+    if isinstance(q0, int):
+        q0 = DiagNormal.standard(q0, dtype)
+    dim = q0.event_dim
+    layers = []
+    for i, k in enumerate(jax.random.split(key, nlayers)):
+        layers.append(ActNorm.identity(dim, dtype))
+        # static int seed: the PLU rotation init is host-side (static
+        # permutation), so it must not depend on the (possibly traced) key
+        layers.append(InvertibleLinear.make(i, dim, dtype))
+        layers.extend(RealNVP_layer(k, dim, hdims, dtype, compute_dtype))
+    return create_flow(layers, q0)
+
+
+def glow_init_actnorms(flow, x: jax.Array):
+    """Glow data-dependent init: run ``x`` (a (batch, dim) draw from the
+    data/base) through the flow front-to-back, re-initializing every
+    ActNorm so its output over the batch is zero-mean/unit-variance per
+    dim. Returns a new flow (pytrees are immutable)."""
+    bijs = list(flow.bijector.bijectors)
+    for i, b in enumerate(bijs):
+        if isinstance(b, ActNorm):
+            b = ActNorm.initialize(x)
+            bijs[i] = b
+        x, _ = b.forward_and_log_det(x)
+    chain = type(flow.bijector)(tuple(bijs))
+    return type(flow)(flow.base, chain)

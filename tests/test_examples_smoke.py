@@ -23,6 +23,7 @@ DEMOS = [
     "demo_neural_spline_flow",
     "demo_hamiltonian_flow",
     "demo_maf_mle",
+    "demo_glow",
 ]
 
 

@@ -62,16 +62,11 @@ def test_invertible_linear_init_is_rotation(key):
 
 
 def test_mixing_flow_trains(key):
-    """RealNVP blocks interleaved with ActNorm + learned mixing — the Glow
-    composition — trains end to end and improves the ELBO."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    """The `glow` zoo constructor (ActNorm → PLU mixing → coupling pair
+    per block) trains end to end and improves the ELBO."""
+    k1, k3 = jax.random.split(key)
     target = nf.DiagNormal(jnp.full((DIM,), 3.0), jnp.full((DIM,), 0.7))
-    layers = []
-    for i, kk in enumerate(jax.random.split(k1, 3)):
-        layers.append(ActNorm.identity(DIM))
-        layers.append(InvertibleLinear.make(jax.random.fold_in(k2, i), DIM))
-        layers.extend(nf.RealNVP_layer(kk, DIM, (16, 16)))
-    flow = nf.create_flow(layers, nf.DiagNormal.standard(DIM))
+    flow = nf.glow(k1, DIM, (16, 16), nlayers=3)
 
     before = float(nf.elbo_batch(k3, flow, target.log_prob, 512))
     res = nf.train_flow(k3, nf.elbo_batch, flow, target.log_prob, 64,
@@ -86,3 +81,38 @@ def test_mixing_flow_trains(key):
     for b in res.flow.bijector.bijectors:
         if isinstance(b, InvertibleLinear):
             assert isinstance(b.sign_s, tuple)
+
+
+def test_glow_roundtrip_and_jit(key):
+    flow = jax.jit(lambda k: nf.glow(k, DIM, (8, 8), nlayers=2))(key)
+    x = jax.random.normal(jax.random.key(3), (32, DIM))
+    y, ld = flow.bijector.forward_and_log_det(x)
+    x2, ld2 = flow.bijector.inverse_and_log_det(y)
+    assert float(jnp.max(jnp.abs(x - x2))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld + ld2))) < 1e-4
+    # log_prob/sample agree under jit
+    lp = jax.jit(flow.log_prob)(y)
+    assert lp.shape == (32,)
+    assert bool(jnp.all(jnp.isfinite(lp)))
+
+
+def test_glow_init_actnorms(key):
+    """Data-dependent init: every ActNorm output over the init batch is
+    zero-mean/unit-variance at its position in the stack."""
+    flow = nf.glow(key, DIM, (8, 8), nlayers=3)
+    x = jax.random.normal(jax.random.key(5), (1024, DIM)) * 2.0 + 1.0
+    flow2 = nf.glow_init_actnorms(flow, x)
+
+    h = x
+    n_checked = 0
+    for b in flow2.bijector.bijectors:
+        if isinstance(b, ActNorm):
+            out, _ = b.forward_and_log_det(h)
+            assert float(jnp.max(jnp.abs(jnp.mean(out, axis=0)))) < 1e-3
+            assert float(jnp.max(jnp.abs(jnp.std(out, axis=0) - 1))) < 1e-2
+            n_checked += 1
+        h, _ = b.forward_and_log_det(h)
+    assert n_checked == 3
+    # original flow untouched (immutability)
+    assert float(jnp.max(jnp.abs(
+        flow.bijector.bijectors[0].log_scale))) == 0.0
