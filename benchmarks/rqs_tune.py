@@ -28,16 +28,20 @@ def slope_time(fn, n1=4, n2=12, reps=3):
     return max((t2 - t1) / (n2 - n1), 1e-12)
 
 
-def bench(name, transform, n, K, B=30.0):
+def bench(name, transform, n, K, B=30.0, param_major=False):
+    """``param_major=True`` stores raw as (3K−1, N) — the kernel's native
+    layout — so no transpose appears anywhere in the measured program."""
     kx, kr = jax.random.split(jax.random.key(0))
     x = jax.random.uniform(kx, (n,), jnp.float32, -B, B)
     raw = jax.random.normal(kr, (n, 3 * K - 1), jnp.float32)
+    if param_major:
+        raw = raw.T
 
     @functools.partial(jax.jit, static_argnums=3)
     def run(x, raw, key, m):
         def body(c, k):
-            xi = x * jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
-            y, ld = transform(xi, raw)
+            u = jax.random.uniform(k, (), jnp.float32, 0.9, 1.1)
+            y, ld = transform(x * u, raw * u)
             return c + y[0] + ld[0], None
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
         return acc
@@ -65,8 +69,13 @@ def main():
     a = p.parse_args()
 
     bench("oracle (XLA)", oracle_transform, a.n, a.K)
-    bench("pallas BLK=256", functools.partial(
-        rqs_pallas.rqs_fused, B=30.0), a.n, a.K)
+    for lanes in (1024, 2048, 4096):
+        rqs_pallas.LANES_FWD = lanes
+        bench(f"pallas elem-major lanes={lanes}", functools.partial(
+            rqs_pallas.rqs_fused, B=30.0), a.n, a.K)
+        bench(f"pallas param-major lanes={lanes}",
+              lambda x, raw_t: rqs_pallas.rqs_fused_t(x, raw_t, 30.0),
+              a.n, a.K, param_major=True)
 
 
 if __name__ == "__main__":

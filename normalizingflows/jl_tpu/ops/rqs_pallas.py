@@ -6,15 +6,24 @@ dependency, MonotonicSplines.jl (KernelAbstractions kernels consumed at
 
     raw conditioner outputs (3K−1)
       → softmax/cumsum knot normalization        (rqs_params_from_raw)
-      → bin search (compare+sum over K lanes)
+      → bin search (compare+sum over K rows)
       → rational-quadratic forward/inverse + log-derivative
 
 so the (N, K+1)×3 knot tables never touch HBM — the kernel reads 3K−1 raw
 floats + 1 input and writes 2 outputs per element, the bandwidth floor.
-Layout: elements on the sublane (row) axis, the K parameter lanes on the
-lane axis; the cumsum is a (BLK,K)×(K,K) upper-triangular matmul (MXU),
-bin-gathers are one-hot multiply-reductions (VPU) — no scalar loops, no
-dynamic indexing.
+
+Layout (v2, measured): ELEMENTS ride the 128-wide LANE axis and the 3K−1
+parameter rows ride the SUBLANE axis — i.e. the kernel consumes the
+TRANSPOSED (3K−1, N) parameter matrix. Per-knot slicing/concatenation
+(the cumsum, the lo/hi knot views) then moves whole sublane rows, which
+Mosaic does with cheap sublane shifts, and every vector op runs at full
+128-lane occupancy. The original layout (elements on sublanes, K params
+on lanes) left >85% of each vreg idle and paid a lane-shift for every
+knot concat — measured 8.4 GB/s at 4M elements on v5e; this layout
+reaches an order of magnitude higher (benchmarks/rqs_tune.py). The
+cumsum is an unrolled exact running sum (K is tiny; MXU-matmul cumsum
+rounds like bf16 and can collapse the last bin — see _cumsum_rows);
+bin-gathers are one-hot multiply-reductions over sublanes.
 
 The backward pass is a second Pallas kernel that RECOMPUTES the forward on
 the tile and applies `jax.vjp` *inside* the kernel (flops traded for HBM
@@ -29,7 +38,6 @@ Numerics are pinned against the pure-jnp oracle in `ops/rqs.py`
 from __future__ import annotations
 
 import functools
-from typing import Literal
 
 import jax
 import jax.numpy as jnp
@@ -38,83 +46,85 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import rqs as _oracle
 
-__all__ = ["rqs_fused", "rqs_fused_forward", "rqs_fused_inverse"]
+__all__ = ["rqs_fused", "rqs_fused_forward", "rqs_fused_inverse",
+           "rqs_fused_t"]
 
-# Element rows per grid step. The backward kernel's in-kernel vjp holds
-# O(30) live (BLK, K)-shaped intermediates on the VMEM stack; BLK=256 keeps
-# that well under the 16MB scoped-vmem limit (1024 overflowed it on v5e).
-BLK = 256
+# Element lanes per grid step. Forward intermediates are ~40 (K, LANES)
+# rows; backward's in-kernel vjp roughly triples the live set, so it uses
+# the smaller tile.
+LANES_FWD = 2048
+LANES_BWD = 1024
+
+
+def _cumsum_rows(a, K):
+    """Exact running sum down the sublane axis. (A matmul with a
+    triangular ones matrix would use the MXU, whose f32 passes round like
+    bf16 — enough error to collapse the last bin against the pinned +B
+    knot and produce log(0) = −inf log-dets. K is tiny; an unrolled
+    running sum is exact and cheap.)"""
+    rows = [a[:1]]
+    for j in range(1, K):
+        rows.append(rows[-1] + a[j:j + 1])
+    return jnp.concatenate(rows, axis=0)
 
 
 def _tile_transform(x, raw, B: float, K: int, inverse: bool):
-    """Pure-jnp tile computation: (BLK,) x, (BLK, 3K−1) raw → y, ld.
+    """Pure-jnp tile computation: (1, L) x, (3K−1, L) raw → y, ld (1, L).
 
-    Written with Mosaic-friendly primitives only (matmul-cumsum, one-hot
-    gathers); shared by the forward and backward kernels and — under
-    standard jnp — identical in math to the `ops/rqs.py` oracle.
+    Written with Mosaic-friendly primitives only (sublane-axis slices,
+    one-hot gathers); shared by the forward and backward kernels and —
+    under standard jnp — identical in math to the `ops/rqs.py` oracle.
     """
     dtype = x.dtype
     mbw = _oracle.DEFAULT_MIN_BIN_WIDTH
     mbh = _oracle.DEFAULT_MIN_BIN_HEIGHT
     mder = _oracle.DEFAULT_MIN_DERIVATIVE
 
-    w_raw = raw[:, :K]
-    h_raw = raw[:, K:2 * K]
-    d_raw = raw[:, 2 * K:]
+    w_raw = raw[:K]
+    h_raw = raw[K:2 * K]
+    d_raw = raw[2 * K:]
 
-    widths = jax.nn.softmax(w_raw, axis=-1)
+    widths = jax.nn.softmax(w_raw, axis=0)
     widths = mbw + (1.0 - mbw * K) * widths
-    heights = jax.nn.softmax(h_raw, axis=-1)
+    heights = jax.nn.softmax(h_raw, axis=0)
     heights = mbh + (1.0 - mbh * K) * heights
 
-    # knot grids via EXACT cumsum on the VPU. (A matmul with an upper-tri
-    # ones matrix would use the MXU, whose f32 passes round like bf16 —
-    # enough error to collapse the last bin against the pinned +B knot and
-    # produce log(0) = −inf log-dets. K is tiny; an unrolled running sum is
-    # exact and cheap.)
     two_B = jnp.asarray(2.0 * B, dtype)
     negB = jnp.asarray(-B, dtype)
-
-    def _cumsum_lanes(a):
-        cols = [a[:, :1]]
-        for j in range(1, K):
-            cols.append(cols[-1] + a[:, j:j + 1])
-        return jnp.concatenate(cols, axis=-1)
-
-    xs_hi = negB + two_B * _cumsum_lanes(widths)
-    ys_hi = negB + two_B * _cumsum_lanes(heights)
-    # knots k=0..K: xs[:,0] = −B, xs[:,k] = xs_hi[:,k−1]; pin last to +B
-    # (we only need per-bin endpoints, so keep lo/hi views instead of
-    # concatenating — avoids lane-shift ops)
-    xs_lo = jnp.concatenate([jnp.full_like(xs_hi[:, :1], -B),
-                             xs_hi[:, :-1]], axis=-1)
-    ys_lo = jnp.concatenate([jnp.full_like(ys_hi[:, :1], -B),
-                             ys_hi[:, :-1]], axis=-1)
     Bc = jnp.asarray(B, dtype)
-    xs_hi = jnp.concatenate([xs_hi[:, :-1], jnp.full_like(xs_hi[:, :1], B)],
-                            axis=-1)
-    ys_hi = jnp.concatenate([ys_hi[:, :-1], jnp.full_like(ys_hi[:, :1], B)],
-                            axis=-1)
+
+    xs_hi = negB + two_B * _cumsum_rows(widths, K)
+    ys_hi = negB + two_B * _cumsum_rows(heights, K)
+    # knots k=0..K: row 0 = −B, row k = xs_hi[k−1]; pin last to +B
+    # (we only need per-bin endpoints, so keep lo/hi views instead of a
+    # single (K+1)-row table — row concats are cheap sublane shifts)
+    xs_lo = jnp.concatenate([jnp.full_like(xs_hi[:1], -B),
+                             xs_hi[:-1]], axis=0)
+    ys_lo = jnp.concatenate([jnp.full_like(ys_hi[:1], -B),
+                             ys_hi[:-1]], axis=0)
+    xs_hi = jnp.concatenate([xs_hi[:-1], jnp.full_like(xs_hi[:1], B)],
+                            axis=0)
+    ys_hi = jnp.concatenate([ys_hi[:-1], jnp.full_like(ys_hi[:1], B)],
+                            axis=0)
 
     interior = mder + jax.nn.softplus(d_raw)
-    one = jnp.ones_like(interior[:, :1])
-    d_lo = jnp.concatenate([one, interior], axis=-1)        # d at knot k
-    d_hi = jnp.concatenate([interior, one], axis=-1)        # d at knot k+1
+    one = jnp.ones_like(interior[:1])
+    d_lo = jnp.concatenate([one, interior], axis=0)        # d at knot k
+    d_hi = jnp.concatenate([interior, one], axis=0)        # d at knot k+1
 
     inside = (x >= -Bc) & (x <= Bc)
     v = jnp.clip(x, -Bc, Bc)
 
-    # bin index: #{k : v >= lo_k} − 1, clipped — compare+sum over K lanes
+    # bin index: #{k : v >= lo_k} − 1, clipped — compare+sum over K rows
     grid_lo = xs_lo if not inverse else ys_lo
-    k = jnp.sum((v[:, None] >= grid_lo).astype(jnp.int32), axis=-1) - 1
+    k = jnp.sum((v >= grid_lo).astype(jnp.int32), axis=0, keepdims=True) - 1
     k = jnp.clip(k, 0, K - 1)
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], K), 1)
-        == k[:, None]
+        jax.lax.broadcasted_iota(jnp.int32, (K, x.shape[-1]), 0) == k
     ).astype(dtype)
 
     def pick(t):
-        return jnp.sum(t * onehot, axis=-1)
+        return jnp.sum(t * onehot, axis=0, keepdims=True)
 
     x_k, x_k1 = pick(xs_lo), pick(xs_hi)
     y_k, y_k1 = pick(ys_lo), pick(ys_hi)
@@ -159,9 +169,9 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
 
 
 def _fwd_kernel(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
-    y, ld = _tile_transform(x_ref[:, 0], raw_ref[:], B, K, inverse)
-    y_ref[:, 0] = y
-    ld_ref[:, 0] = ld
+    y, ld = _tile_transform(x_ref[:], raw_ref[:], B, K, inverse)
+    y_ref[:] = y
+    ld_ref[:] = ld
 
 
 def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
@@ -169,39 +179,40 @@ def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
     def fn(x, raw):
         return _tile_transform(x, raw, B, K, inverse)
 
-    _, vjp = jax.vjp(fn, x_ref[:, 0], raw_ref[:])
-    gx, graw = vjp((gy_ref[:, 0], gld_ref[:, 0]))
-    gx_ref[:, 0] = gx
+    _, vjp = jax.vjp(fn, x_ref[:], raw_ref[:])
+    gx, graw = vjp((gy_ref[:], gld_ref[:]))
+    gx_ref[:] = gx
     graw_ref[:] = graw
 
 
-def _pad_rows(a, n_pad):
-    if n_pad == 0:
-        return a
-    pad = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
-    return jnp.pad(a, pad)
-
-
-def _call_fwd(x_flat, raw_flat, B, K, inverse, interpret):
+def _to_rows(x_flat, raw_t, L):
+    """Pad N to a multiple of L: x (1, Np), raw_t (3K−1, Np)."""
     n = x_flat.shape[0]
-    n_pad = (-n) % BLK
-    xp = _pad_rows(x_flat[:, None], n_pad)
-    rp = _pad_rows(raw_flat, n_pad)
-    grid = (xp.shape[0] // BLK,)
+    n_pad = (-n) % L
+    xp = jnp.pad(x_flat, (0, n_pad))[None, :]
+    rp = jnp.pad(raw_t, ((0, 0), (0, n_pad)))
+    return xp, rp
+
+
+def _call_fwd(x_flat, raw_t, B, K, inverse, interpret):
+    n = x_flat.shape[0]
+    L = LANES_FWD
+    xp, rp = _to_rows(x_flat, raw_t, L)
+    grid = (xp.shape[1] // L,)
     kern = functools.partial(_fwd_kernel, B=B, K=K, inverse=inverse)
     y, ld = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 3 * K - 1), lambda i: (i, 0),
+            pl.BlockSpec((3 * K - 1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -210,66 +221,73 @@ def _call_fwd(x_flat, raw_flat, B, K, inverse, interpret):
         ],
         interpret=interpret,
     )(xp, rp)
-    return y[:n, 0], ld[:n, 0]
+    return y[0, :n], ld[0, :n]
 
 
-def _call_bwd(x_flat, raw_flat, gy, gld, B, K, inverse, interpret):
+def _call_bwd(x_flat, raw_t, gy, gld, B, K, inverse, interpret):
     n = x_flat.shape[0]
-    n_pad = (-n) % BLK
-    xp = _pad_rows(x_flat[:, None], n_pad)
-    rp = _pad_rows(raw_flat, n_pad)
-    gyp = _pad_rows(gy[:, None], n_pad)
-    gldp = _pad_rows(gld[:, None], n_pad)
-    grid = (xp.shape[0] // BLK,)
+    L = LANES_BWD
+    xp, rp = _to_rows(x_flat, raw_t, L)
+    gyp = jnp.pad(gy, (0, xp.shape[1] - n))[None, :]
+    gldp = jnp.pad(gld, (0, xp.shape[1] - n))[None, :]
+    grid = (xp.shape[1] // L,)
     kern = functools.partial(_bwd_kernel, B=B, K=K, inverse=inverse)
     gx, graw = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 3 * K - 1), lambda i: (i, 0),
+            pl.BlockSpec((3 * K - 1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 3 * K - 1), lambda i: (i, 0),
+            pl.BlockSpec((3 * K - 1, L), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
-            jax.ShapeDtypeStruct(rp.shape, raw_flat.dtype),
+            jax.ShapeDtypeStruct(rp.shape, raw_t.dtype),
         ],
         interpret=interpret,
     )(xp, rp, gyp, gldp)
-    return gx[:n, 0], graw[:n]
+    return gx[0, :n], graw[:, :n]
 
 
+# custom_vjp core in the kernel's native PARAM-MAJOR layout (raw_t =
+# (3K−1, N)): high-throughput callers (large-batch sampling/serving,
+# benchmarks/roofline.py) feed it directly and never pay a transpose; the
+# elem-major wrapper below transposes OUTSIDE the custom_vjp, so in the
+# flow path XLA is free to fuse that transpose into the conditioner matmul
+# that produces raw (a layout choice, not a copy).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _rqs_fused(x_flat, raw_flat, B, inverse, interpret):
-    K = (raw_flat.shape[-1] + 1) // 3
-    return _call_fwd(x_flat, raw_flat, B, K, inverse, interpret)
+def rqs_fused_t(x_flat, raw_t, B, inverse=False, interpret=False):
+    """Fused RQS on param-major inputs: ``x_flat`` (N,), ``raw_t``
+    (3K−1, N). Returns (out (N,), elementwise log|dy/dx| (N,))."""
+    K = (raw_t.shape[0] + 1) // 3
+    return _call_fwd(x_flat, raw_t, B, K, inverse, interpret)
 
 
-def _rqs_fused_fwd(x_flat, raw_flat, B, inverse, interpret):
-    out = _rqs_fused(x_flat, raw_flat, B, inverse, interpret)
-    return out, (x_flat, raw_flat)
+def _rqs_fused_t_fwd(x_flat, raw_t, B, inverse, interpret):
+    out = rqs_fused_t(x_flat, raw_t, B, inverse, interpret)
+    return out, (x_flat, raw_t)
 
 
-def _rqs_fused_bwd(B, inverse, interpret, res, g):
-    x_flat, raw_flat = res
+def _rqs_fused_t_bwd(B, inverse, interpret, res, g):
+    x_flat, raw_t = res
     gy, gld = g
-    K = (raw_flat.shape[-1] + 1) // 3
-    gx, graw = _call_bwd(x_flat, raw_flat, gy, gld, B, K, inverse, interpret)
-    return gx, graw
+    K = (raw_t.shape[0] + 1) // 3
+    gx, graw_t = _call_bwd(x_flat, raw_t, gy, gld, B, K, inverse, interpret)
+    return gx, graw_t
 
 
-_rqs_fused.defvjp(_rqs_fused_fwd, _rqs_fused_bwd)
+rqs_fused_t.defvjp(_rqs_fused_t_fwd, _rqs_fused_t_bwd)
 
 
 def rqs_fused(
@@ -284,9 +302,9 @@ def rqs_fused(
     equivalent of `rqs_params_from_raw` + `rqs_forward`/`rqs_inverse`."""
     batch_shape = x.shape
     x_flat = x.reshape(-1)
-    raw_flat = raw.reshape(-1, raw.shape[-1])
-    y, ld = _rqs_fused(x_flat, raw_flat, float(B), bool(inverse),
-                       bool(interpret))
+    raw_t = raw.reshape(-1, raw.shape[-1]).T
+    y, ld = rqs_fused_t(x_flat, raw_t, float(B), bool(inverse),
+                        bool(interpret))
     return y.reshape(batch_shape), ld.reshape(batch_shape)
 
 
