@@ -79,6 +79,30 @@ def test_gradients_match_oracle(inverse):
     np.testing.assert_allclose(gk_r, go_r, rtol=2e-3, atol=1e-4)
 
 
+def test_param_major_entry_matches():
+    """`rqs_fused_t` (the transpose-free param-major entry used by
+    high-throughput callers) agrees with the elem-major wrapper in value
+    and gradient."""
+    x, raw = _setup(seed=5)
+    y_e, ld_e = kern.rqs_fused(x, raw, B, interpret=True)
+    y_t, ld_t = kern.rqs_fused_t(x, raw.T, B, interpret=True)
+    np.testing.assert_allclose(y_t, y_e, rtol=1e-6)
+    np.testing.assert_allclose(ld_t, ld_e, rtol=1e-6)
+
+    def loss_t(x, raw_t):
+        y, ld = kern.rqs_fused_t(x, raw_t, B, interpret=True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(ld * 0.5)
+
+    def loss_e(x, raw):
+        y, ld = kern.rqs_fused(x, raw, B, interpret=True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(ld * 0.5)
+
+    gt_x, gt_r = jax.grad(loss_t, argnums=(0, 1))(x, raw.T)
+    ge_x, ge_r = jax.grad(loss_e, argnums=(0, 1))(x, raw)
+    np.testing.assert_allclose(gt_x, ge_x, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(gt_r.T, ge_r, rtol=1e-6, atol=1e-7)
+
+
 def test_multi_dim_batch_shape():
     x, raw = _setup(seed=4)
     x3 = x[:296].reshape(4, 74)
