@@ -354,6 +354,13 @@ def report():
         "  get at this sample size. Values near the floor mean full",
         "  distributional match; values far above it quantify the",
         "  mode-seeking gap that per-coordinate moments can't adjudicate.",
+        "- The ELBO and the two-sample metrics are CONSISTENT, not",
+        "  contradictory (round-2 question): for a normalized target,",
+        "  final ELBO = −KL(q‖p), and Pinsker bounds TV ≤ √(KL/2) — e.g.",
+        "  planar's ELBO −0.32 permits TV up to 0.40, and the measured",
+        "  grid TV is 0.27. A mode-seeking q can under-cover a long",
+        "  low-density tail (large SW₂, which is tail-dominated) while",
+        "  paying only tenths of a nat of KL (which weights by q).",
         "- Reverse-KL training is mode-seeking: on the HARD banana",
         "  (var=100) the flow concentrates on the density crown, so sample",
         "  moments legitimately differ from the full-target moments even at",

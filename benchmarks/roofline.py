@@ -144,10 +144,13 @@ def realnvp_train_flops(dim, hdims, nlayers, batch):
 
 def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
                        compute_dtype=None, n=30):
-    """MFU of the wide-RealNVP training step (MXU-bound regime)."""
+    """MFU of the wide-RealNVP training step (MXU-bound regime).
+    ``remat=True``: at this width the scan's saved activations cost ~1 ms
+    of HBM traffic per step — recomputing them is the right trade
+    (measured 2.7 → 2.0 ms bf16, benchmarks/wide_ablate.py)."""
     flow = jax.jit(
         lambda k: nf.realnvp(k, dim, hdims, nlayers=nlayers,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, remat=True)
     )(jax.random.key(0))
     target = nf.Banana(dim, 1.0, 100.0)
     optimizer = optax.adam(1e-3)

@@ -171,6 +171,15 @@ class Repeated(Bijector):
 
     stacked: Bijector
     n: int = static_field()
+    # rematerialize each block under autodiff: recompute the block's
+    # activations in the backward pass instead of saving them to HBM.
+    # On wide flows the scan's per-layer residuals dominate backward time
+    # (measured ~1 ms of pure activation traffic per train step on the
+    # d=128/[256,256]×10 config, benchmarks/wide_ablate.py) while the
+    # recompute flops are cheap — the classic TPU flops-for-bandwidth
+    # trade. Off by default: at demo sizes residuals are tiny and remat
+    # only adds latency.
+    remat: bool = static_field(default=False)
 
     def _scan(self, x, fn_name, reverse):
         def body(carry, layer):
@@ -178,6 +187,8 @@ class Repeated(Bijector):
             y, ldi = getattr(layer, fn_name)(x)
             return (y, ld + ldi), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         init = (x, _zero_log_det(x))
         (y, ld), _ = jax.lax.scan(
             body, init, self.stacked, length=self.n, reverse=reverse
@@ -191,13 +202,16 @@ class Repeated(Bijector):
         return self._scan(y, "inverse_and_log_det", reverse=True)
 
 
-def stack_bijectors(blocks: Sequence[Bijector]) -> Repeated:
-    """Stack structurally-identical bijectors into a `Repeated`."""
+def stack_bijectors(blocks: Sequence[Bijector],
+                    remat: bool = False) -> Repeated:
+    """Stack structurally-identical bijectors into a `Repeated`.
+    ``remat=True`` recomputes block activations in the backward pass
+    (see `Repeated.remat`)."""
     blocks = list(blocks)
     stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *blocks
     )
-    return Repeated(stacked, len(blocks))
+    return Repeated(stacked, len(blocks), remat)
 
 
 @module

@@ -160,6 +160,7 @@ def realnvp(
     fused: bool = False,
     interpret: bool = False,
     compute_dtype=None,
+    remat: bool = False,
 ) -> TransformedDistribution:
     """RealNVP flow (reference `realnvp.jl:170-192`); ``q0`` may be a base
     distribution or an int dim (→ standard DiagNormal base). Defaults
@@ -190,5 +191,7 @@ def realnvp(
         )
     blocks = [Chain(p) for p in pairs]
     if scan and nlayers > 1:
-        return create_flow([stack_bijectors(blocks)], q0)
+        # remat=True: recompute block activations in the backward pass
+        # (wide-flow HBM-residual trade; see bijector.Repeated.remat)
+        return create_flow([stack_bijectors(blocks, remat=remat)], q0)
     return create_flow(blocks, q0)

@@ -12,6 +12,7 @@ Weights are stored (in_dim, out_dim) and applied as ``x @ W + b`` on
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 import jax
@@ -20,6 +21,37 @@ import jax.numpy as jnp
 from ..utils.pytree import Module, module, static_field
 
 __all__ = ["Dense", "MLP", "fnn", "mlp3", "leaky_relu"]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mixed_matmul(x, W, cd, pet):
+    """Matmul with operands cast to ``cd`` (bf16 policy) and accumulation
+    dtype ``pet``. The custom VJP keeps BOTH backward matmuls in ``cd``
+    too: without it, autodiff feeds the f32 cotangent into mixed-dtype
+    dot-generals that XLA upcasts to full-f32 multi-pass MXU products —
+    measured 5.3× forward cost on the wide-RealNVP train step (v5e,
+    benchmarks/wide_ablate.py). Standard mixed-precision semantics:
+    bf16 operand/gradient matmuls, f32 accumulation, f32 master params."""
+    return jnp.matmul(x.astype(cd), W.astype(cd),
+                      preferred_element_type=pet)
+
+
+def _mixed_matmul_fwd(x, W, cd, pet):
+    return _mixed_matmul(x, W, cd, pet), (x, W)
+
+
+def _mixed_matmul_bwd(cd, pet, res, g):
+    x, W = res
+    gc = g.astype(cd)
+    gx = jnp.matmul(gc, W.astype(cd).T,
+                    preferred_element_type=pet).astype(x.dtype)
+    xf = x.reshape(-1, x.shape[-1]).astype(cd)
+    gf = gc.reshape(-1, g.shape[-1])
+    gW = jnp.matmul(xf.T, gf, preferred_element_type=pet).astype(W.dtype)
+    return gx, gW
+
+
+_mixed_matmul.defvjp(_mixed_matmul_fwd, _mixed_matmul_bwd)
 
 
 def leaky_relu(x: jax.Array) -> jax.Array:
@@ -64,10 +96,8 @@ class Dense(Module):
             # TPU the product is taken in compute_dtype and upcast after —
             # a static trace-time branch, not a runtime one.
             pet = self.W.dtype if jax.default_backend() == "tpu" else None
-            y = jnp.matmul(
-                x.astype(self.compute_dtype),
-                self.W.astype(self.compute_dtype),
-                preferred_element_type=pet,
+            y = _mixed_matmul(
+                x, self.W, self.compute_dtype, pet
             ).astype(self.W.dtype) + self.b
         else:
             # Full-precision matmul for f32/f64 params: TPU DEFAULT

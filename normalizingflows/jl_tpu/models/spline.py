@@ -153,6 +153,7 @@ def nsf(
     scan: bool = True,
     interpret: bool = False,
     identity_init: bool = False,
+    remat: bool = False,
 ) -> TransformedDistribution:
     """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
 
@@ -172,5 +173,5 @@ def nsf(
         for k in jax.random.split(key, nlayers)
     ]
     if scan and nlayers > 1:
-        return create_flow([stack_bijectors(blocks)], q0)
+        return create_flow([stack_bijectors(blocks, remat=remat)], q0)
     return create_flow(blocks, q0)

@@ -166,3 +166,26 @@ def test_autoregressive_logdet_vs_autodiff_jacobian(key):
     assert bool(jnp.all(jnp.triu(J, k=1) == 0.0))
     ld_exact = jnp.sum(jnp.log(jnp.abs(jnp.diag(J))))
     assert jnp.allclose(ld, ld_exact, rtol=1e-10)
+
+
+def test_remat_matches_no_remat(key):
+    """`remat=True` (backward-pass activation recompute in the Repeated
+    scan) changes scheduling only: values and gradients must be identical
+    to the default within float tolerance."""
+    import optax  # noqa: F401
+
+    mk = lambda remat: nf.realnvp(key, DIM, (16, 16), nlayers=3,
+                                  remat=remat)
+    f0, f1 = mk(False), mk(True)
+    xs = jax.random.normal(jax.random.key(3), (32, DIM))
+
+    def loss(f):
+        return -nf.elbo_from_samples(xs, f, lambda y: -0.5 * jnp.sum(
+            jnp.square(y), axis=-1))
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss))(f0)
+    l1, g1 = jax.jit(jax.value_and_grad(loss))(f1)
+    assert jnp.allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        assert jnp.allclose(a, b, rtol=1e-5, atol=1e-6)
