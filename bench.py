@@ -147,6 +147,27 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _with_retries(label, fn, attempts=3, backoff_s=5.0):
+    """Run a measurement with retry-on-any-exception.
+
+    The tunneled TPU backend can throw transient ``JaxRuntimeError:
+    FAILED_PRECONDITION`` on a host fetch (this erased the round-3
+    scoreboard — BENCH_r03.json rc=1). Every measurement goes through
+    here so one flake costs a retry, not the round. Returns ``fn()`` or
+    None after ``attempts`` failures; the caller must treat None as
+    "field is null", never as a reason to crash."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — bench must never die
+            _log(f"{label}: attempt {i + 1}/{attempts} failed "
+                 f"({type(e).__name__}: {e})")
+            if i + 1 < attempts:
+                time.sleep(backoff_s)
+    _log(f"{label}: all {attempts} attempts failed; field will be null")
+    return None
+
+
 def measure_steps_per_s(device, n=2000, builder=build, batch=BATCH):
     with jax.default_device(device):
         flow, target = builder()
@@ -238,43 +259,54 @@ def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2, fused=False):
 
 
 def main():
+    # Every field defaults to null and every measurement retries on
+    # transient backend errors; the final JSON line is ALWAYS printed and
+    # the process ALWAYS exits 0 (VERDICT r3 item 1 — a single tunnel
+    # flake must not erase the round's scoreboard again).
     accel = jax.devices()[0]
-    xla_steps_per_s, final_loss = measure_steps_per_s(accel)
-    steps_per_s = xla_steps_per_s
-    fused_field = None
+    steps_per_s = final_loss = None
+    xla_steps_per_s = fused_field = samples_per_s = None
+    nsf_steps = wide_f32 = wide_bf16 = wide_bf16_mfu = None
+    vs_baseline = None
+
+    headline = _with_retries(
+        "headline steps/s", lambda: measure_steps_per_s(accel))
+    if headline is not None:
+        xla_steps_per_s, final_loss = headline
+        steps_per_s = xla_steps_per_s
     if accel.platform != "cpu":
-        fused = measure_steps_per_s_fused(accel)
+        fused = _with_retries(
+            "fused train kernel", lambda: measure_steps_per_s_fused(accel),
+            attempts=2)
         if fused is not None:
             fused_steps_per_s, fused_loss = fused
             fused_field = round(fused_steps_per_s, 2)
-            if fused_steps_per_s > steps_per_s:
+            if steps_per_s is not None and fused_steps_per_s > steps_per_s:
                 # the whole-run Pallas kernel is the headline path; same
                 # math as the optax scan (tests/test_train_kernel.py)
                 steps_per_s, final_loss = fused_steps_per_s, fused_loss
-    samples_per_s = measure_samples_per_s(accel)
+    samples_per_s = _with_retries(
+        "samples/s", lambda: measure_samples_per_s(accel))
     if accel.platform != "cpu":
-        try:
-            # fused whole-stack forward kernel (ops/coupling_pallas.py);
+        fused_samples = _with_retries(
+            "fused sampling kernel",
+            lambda: measure_samples_per_s(accel, fused=True), attempts=2)
+        if fused_samples is not None and samples_per_s is not None:
             # report whichever sampling path is faster
-            samples_per_s = max(
-                samples_per_s, measure_samples_per_s(accel, fused=True)
-            )
-        except Exception as e:  # noqa: BLE001
-            _log(f"fused sampling kernel unavailable "
-                 f"({type(e).__name__}: {e})")
+            samples_per_s = max(samples_per_s, fused_samples)
 
     # secondary workloads (VERDICT r2 item 4: the bench must not be only
     # the latency-bound d=2 RealNVP toy): the NSF demo config (Pallas RQS
     # path) and a wide MXU-bound RealNVP in f32 and bf16, with the bf16
     # MFU figure from the roofline model (benchmarks/roofline.py).
-    nsf_steps = wide_f32 = wide_bf16 = wide_bf16_mfu = None
-    try:
-        nsf_steps, _ = measure_steps_per_s(
-            accel, n=1000, builder=build_nsf, batch=64)
-        nsf_steps = round(nsf_steps, 2)
-    except Exception as e:  # noqa: BLE001
-        _log(f"nsf workload unavailable ({type(e).__name__}: {e})")
-    try:
+    nsf = _with_retries(
+        "nsf workload",
+        lambda: measure_steps_per_s(accel, n=1000, builder=build_nsf,
+                                    batch=64))
+    if nsf is not None:
+        nsf_steps = round(nsf[0], 2)
+
+    def wide():
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent
                                / "benchmarks"))
         import roofline
@@ -282,31 +314,41 @@ def main():
         _log(json.dumps(r32))
         r16 = roofline.measure_wide_train(n=10, compute_dtype=jnp.bfloat16)
         _log(json.dumps(r16))
+        return r32, r16
+
+    wide_result = _with_retries("wide workload", wide)
+    if wide_result is not None:
+        r32, r16 = wide_result
         wide_f32 = r32["steps_per_s"]
         wide_bf16 = r16["steps_per_s"]
         wide_bf16_mfu = r16["pct_of_roofline_MFU"]
-    except Exception as e:  # noqa: BLE001
-        _log(f"wide workload unavailable ({type(e).__name__}: {e})")
 
-    try:
-        cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else None
-    except RuntimeError:
-        cpu = None
-    if cpu is not None:
+    def cpu_baseline():
+        try:
+            cpu = jax.devices("cpu")[0] if accel.platform != "cpu" else None
+        except RuntimeError:
+            return 1.0
+        if cpu is None:
+            return 1.0
         cpu_steps_per_s, _ = measure_steps_per_s(cpu, n=1000)
-        vs_baseline = steps_per_s / cpu_steps_per_s
-    else:
-        vs_baseline = 1.0
+        return steps_per_s / cpu_steps_per_s
+
+    if steps_per_s is not None:
+        vs_baseline = _with_retries("cpu baseline", cpu_baseline, attempts=2)
 
     print(json.dumps({
         "metric": "elbo_steps_per_s_realnvp_banana",
-        "value": round(steps_per_s, 2),
+        "value": None if steps_per_s is None else round(steps_per_s, 2),
         "unit": "steps/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "samples_per_s": round(samples_per_s, 1),
-        "final_loss_2000_steps": round(final_loss, 4),
+        "vs_baseline": (None if vs_baseline is None
+                        else round(vs_baseline, 3)),
+        "samples_per_s": (None if samples_per_s is None
+                          else round(samples_per_s, 1)),
+        "final_loss_2000_steps": (None if final_loss is None
+                                  else round(final_loss, 4)),
         "batch_per_step": BATCH,
-        "xla_scan_steps_per_s": round(xla_steps_per_s, 2),
+        "xla_scan_steps_per_s": (None if xla_steps_per_s is None
+                                 else round(xla_steps_per_s, 2)),
         "fused_kernel_steps_per_s": fused_field,
         "nsf_steps_per_s": nsf_steps,
         "wide_realnvp_f32_steps_per_s": wide_f32,
@@ -316,8 +358,18 @@ def main():
         "baseline_def": "same jitted program on 1 host CPU core (reference "
                         "is CPU-only Julia with no published numbers; "
                         "see BASELINE.md)",
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        _log(f"FATAL outside measurements ({type(e).__name__}: {e}); "
+             f"emitting null scoreboard line")
+        print(json.dumps({
+            "metric": "elbo_steps_per_s_realnvp_banana",
+            "value": None, "unit": "steps/s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+    sys.exit(0)
