@@ -23,14 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import coupling_pallas
-from ..ops.masks import PartitionMask
+from ..ops.masks import PartitionMask, interleave
 from ..utils.pytree import module, static_field
-from .bijector import Bijector, Chain, stack_bijectors
+from .bijector import Bijector, Chain
 from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
 from .nets import MLP, fnn
 
-__all__ = ["AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp"]
+__all__ = ["AffineCoupling", "CouplingPairStack", "FusedRealNVP",
+           "RealNVP_layer", "realnvp"]
 
 
 @module
@@ -150,6 +151,96 @@ class FusedRealNVP(Bijector):
         )
 
 
+@module
+class CouplingPairStack(Bijector):
+    """N RealNVP blocks (complementary even/odd `AffineCoupling` pairs)
+    executed as ONE split-carry ``lax.scan``.
+
+    The generic `Repeated(Chain([c_even, c_odd]))` path re-partitions and
+    re-combines the state inside every block, but block k+1's partition
+    exactly undoes block k's combine — the lane shuffles telescope away.
+    Here the state is split into ``(x_even, x_odd)`` once before the scan,
+    carried split, and riffled back once after, so the per-block body is
+    pure conditioner matmuls + fused elementwise (VERDICT r3 item 2: the
+    wide train step spent >half its time outside matmuls; partition/combine
+    traffic was part of that gap).
+
+    Mathematically identical to the generic path (same MLPs, same order,
+    same f32 accumulation) — pinned by ``tests/test_flows.py``.
+    """
+
+    stacked: dict  # {'s_even','t_even','s_odd','t_odd'}: MLPs, leading n axis
+    n: int = static_field()
+    dim: int = static_field()
+    remat: bool = static_field(default=False)
+
+    @staticmethod
+    def from_pairs(pairs, remat: bool = False) -> "CouplingPairStack":
+        """Build from `RealNVP_layer` output: a list of `[c_even, c_odd]`
+        pairs whose masks must be the standard alternating `0::2` / `1::2`
+        sets (reference `realnvp.jl:139-140`)."""
+        dim = pairs[0][0].mask.dim
+        even = tuple(range(0, dim, 2))
+        odd = tuple(range(1, dim, 2))
+        for c_e, c_o in pairs:
+            if c_e.mask.idx_a != even or c_o.mask.idx_a != odd:
+                raise ValueError(
+                    "CouplingPairStack requires alternating even/odd masks; "
+                    "use the generic Repeated path for custom masks")
+
+        def stack(pick):
+            return jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *[pick(p) for p in pairs]
+            )
+
+        stacked = {
+            "s_even": stack(lambda p: p[0].s),
+            "t_even": stack(lambda p: p[0].t),
+            "s_odd": stack(lambda p: p[1].s),
+            "t_odd": stack(lambda p: p[1].t),
+        }
+        return CouplingPairStack(stacked, len(pairs), dim, remat)
+
+    def forward_and_log_det(self, x):
+        xa, xb = x[..., 0::2], x[..., 1::2]
+
+        def body(carry, mlps):
+            xa, xb, ld = carry
+            s = mlps["s_even"](xb)
+            xa = xa * jnp.exp(s) + mlps["t_even"](xb)
+            s2 = mlps["s_odd"](xa)
+            xb = xb * jnp.exp(s2) + mlps["t_odd"](xa)
+            ld = ld + jnp.sum(s, axis=-1) + jnp.sum(s2, axis=-1)
+            return (xa, xb, ld), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        (xa, xb, ld), _ = jax.lax.scan(
+            body, (xa, xb, x[..., 0] * 0), self.stacked, length=self.n
+        )
+        return interleave(xa, xb, self.dim), ld
+
+    def inverse_and_log_det(self, y):
+        ya, yb = y[..., 0::2], y[..., 1::2]
+
+        def body(carry, mlps):
+            ya, yb, ld = carry
+            s2 = mlps["s_odd"](ya)
+            yb = (yb - mlps["t_odd"](ya)) * jnp.exp(-s2)
+            s = mlps["s_even"](yb)
+            ya = (ya - mlps["t_even"](yb)) * jnp.exp(-s)
+            ld = ld - jnp.sum(s, axis=-1) - jnp.sum(s2, axis=-1)
+            return (ya, yb, ld), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        (ya, yb, ld), _ = jax.lax.scan(
+            body, (ya, yb, y[..., 0] * 0), self.stacked, length=self.n,
+            reverse=True,
+        )
+        return interleave(ya, yb, self.dim), ld
+
+
 def realnvp(
     key: jax.Array,
     q0: Distribution | int,
@@ -189,9 +280,10 @@ def realnvp(
         return create_flow(
             [FusedRealNVP.from_blocks(pairs, interpret=interpret)], q0
         )
-    blocks = [Chain(p) for p in pairs]
-    if scan and nlayers > 1:
-        # remat=True: recompute block activations in the backward pass
+    if scan:
+        # split-carry scan: per-block partition/combine elided entirely;
+        # remat=True recomputes block activations in the backward pass
         # (wide-flow HBM-residual trade; see bijector.Repeated.remat)
-        return create_flow([stack_bijectors(blocks, remat=remat)], q0)
-    return create_flow(blocks, q0)
+        return create_flow([CouplingPairStack.from_pairs(pairs, remat=remat)],
+                           q0)
+    return create_flow([Chain(p) for p in pairs], q0)

@@ -20,6 +20,32 @@ from ..utils.pytree import Module, module, static_field
 __all__ = ["PartitionMask"]
 
 
+def _as_strided(idx: tuple[int, ...], dim: int):
+    """If ``idx`` equals ``range(start, dim, step)`` return ``(start, step)``
+    (a static strided slice — on TPU a lane shuffle XLA fuses into
+    neighboring elementwise work, vs a general gather which materializes).
+    Decided at trace time from static aux data; None → gather fallback."""
+    if not idx:
+        return None
+    start = idx[0]
+    step = idx[1] - idx[0] if len(idx) > 1 else 1
+    if step > 0 and idx == tuple(range(start, dim, step)):
+        return start, step
+    return None
+
+
+def interleave(first: jax.Array, second: jax.Array, dim: int) -> jax.Array:
+    """Riffle two last-axis arrays: out[..., 0::2] = first,
+    out[..., 1::2] = second. ``dim`` may be odd (first one longer); lowers
+    to stack+reshape — no scatter."""
+    n1, n2 = first.shape[-1], second.shape[-1]
+    if n2 < n1:  # odd dim: pad the shorter stream, slice the tail off
+        pad = [(0, 0)] * (second.ndim - 1) + [(0, n1 - n2)]
+        second = jnp.pad(second, pad)
+    out = jnp.stack([first, second], axis=-1)
+    return out.reshape(*first.shape[:-1], 2 * n1)[..., :dim]
+
+
 @module
 class PartitionMask(Module):
     dim: int = static_field()
@@ -51,19 +77,37 @@ class PartitionMask(Module):
     def n_conditioned(self) -> int:
         return len(self.idx_b)
 
+    def _take(self, x: jax.Array, idx: tuple[int, ...]):
+        """Select static last-axis indices, preferring a strided slice over
+        a gather (VERDICT r3 item 2: even/odd masks at d=128 are static
+        slices — gathers were a measured non-matmul overhead in the wide
+        train step)."""
+        if not idx:
+            return x[..., :0]
+        s = _as_strided(idx, self.dim)
+        if s is not None:
+            start, step = s
+            return x[..., start::step]
+        return x[..., jnp.asarray(idx, dtype=jnp.int32)]
+
     def partition(self, x: jax.Array):
         """Split (..., dim) into (x_A, x_B, x_C)."""
-        ia = jnp.asarray(self.idx_a, dtype=jnp.int32)
-        ib = jnp.asarray(self.idx_b, dtype=jnp.int32)
-        x_c = (
-            x[..., jnp.asarray(self.idx_c, dtype=jnp.int32)]
-            if self.idx_c
-            else x[..., :0]
+        return (
+            self._take(x, self.idx_a),
+            self._take(x, self.idx_b),
+            self._take(x, self.idx_c),
         )
-        return x[..., ia], x[..., ib], x_c
 
     def combine(self, x_a: jax.Array, x_b: jax.Array, x_c: jax.Array):
-        """Scatter parts back into a (..., dim) array."""
+        """Reassemble a (..., dim) array from parts. The standard
+        alternating even/odd pair lowers to a riffle (stack+reshape); other
+        index sets fall back to a scatter."""
+        sa = _as_strided(self.idx_a, self.dim)
+        sb = _as_strided(self.idx_b, self.dim)
+        if (not self.idx_c and sa is not None and sb is not None
+                and sa[1] == 2 and sb[1] == 2 and {sa[0], sb[0]} == {0, 1}):
+            first, second = (x_a, x_b) if sa[0] == 0 else (x_b, x_a)
+            return interleave(first, second, self.dim)
         shape = x_a.shape[:-1] + (self.dim,)
         out = jnp.zeros(shape, dtype=x_a.dtype)
         out = out.at[..., jnp.asarray(self.idx_a, dtype=jnp.int32)].set(x_a)

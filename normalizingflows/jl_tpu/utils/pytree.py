@@ -86,7 +86,10 @@ replace = dataclasses.replace
 
 
 def _mask_tree(obj: Any, on: bool) -> Any:
-    """Build a pytree of booleans matching ``obj``'s structure."""
+    """Build a pytree of booleans matching ``obj``'s structure.
+    Recurses through plain containers (tuple/list/dict) so a Module nested
+    inside e.g. `Chain.bijectors` still has its ``__trainable__``
+    declaration honored."""
     if isinstance(obj, Module):
         tr = type(obj).__trainable__
         kwargs = {}
@@ -96,6 +99,12 @@ def _mask_tree(obj: Any, on: bool) -> Any:
         for name in obj.__meta_fields__:
             kwargs[name] = getattr(obj, name)
         return type(obj)(**kwargs)
+    if isinstance(obj, (tuple, list)) and not hasattr(obj, "_fields"):
+        return type(obj)(_mask_tree(v, on) for v in obj)
+    if hasattr(obj, "_fields"):  # namedtuple
+        return type(obj)(*(_mask_tree(v, on) for v in obj))
+    if isinstance(obj, dict):
+        return {k: _mask_tree(v, on) for k, v in obj.items()}
     leaves_treedef = jax.tree_util.tree_structure(obj)
     if leaves_treedef.num_leaves == 0:
         return obj
@@ -112,7 +121,10 @@ def trainable_mask(tree: Any, frozen: Callable[[Any], bool] | None = None) -> An
     reference's ``@leaf MvNormal`` freezing at `test/interface.jl:21`).
     """
     if frozen is None:
-        return _mask_tree(tree, True)
+        # __trainable__ declarations (e.g. InvertibleLinear's frozen
+        # permutation) must hold even with no frozen predicate
+        def frozen(m):
+            return False
 
     def rec(obj: Any, on: bool) -> Any:
         if frozen(obj):
@@ -126,6 +138,12 @@ def trainable_mask(tree: Any, frozen: Callable[[Any], bool] | None = None) -> An
             for name in obj.__meta_fields__:
                 kwargs[name] = getattr(obj, name)
             return type(obj)(**kwargs)
+        if isinstance(obj, (tuple, list)) and not hasattr(obj, "_fields"):
+            return type(obj)(rec(v, on) for v in obj)
+        if hasattr(obj, "_fields"):  # namedtuple
+            return type(obj)(*(rec(v, on) for v in obj))
+        if isinstance(obj, dict):
+            return {k: rec(v, on) for k, v in obj.items()}
         return _mask_tree(obj, on)
 
     return rec(tree, True)
