@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .models.autoregressive import iaf, maf
 from .models.coupling import realnvp
+from .models.linear import glow
+from .models.hamiltonian import hamiltonian_flow
 from .models.planar_radial import planarflow, radialflow
 from .models.spline import nsf
 from .train import TrainResult, train_flow
@@ -45,10 +48,14 @@ _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
 class FlowConfig:
     """Which flow to build, with the reference's constructor defaults.
 
-    ``family``: 'planar' | 'radial' | 'realnvp' | 'nsf'.
+    ``family``: 'planar' | 'radial' | 'realnvp' | 'nsf' | 'maf' | 'iaf' |
+    'glow' | 'hamiltonian'.
     Defaults per family (reference `src/flows/planar_radial.jl:21-29,52-60`,
     `realnvp.jl:190-192`, `neuralspline.jl:232-234`): 10 layers; RealNVP/NSF
-    conditioner hdims [32, 32]; NSF K=10 knots, B=30 box bound.
+    conditioner hdims [32, 32]; NSF K=10 knots, B=30 box bound. For
+    'hamiltonian', ``nlayers`` is the block count and the target's score
+    function must be passed to :meth:`build` (it is code, not config —
+    reference `demo_hamiltonian_flow.jl:128`).
     """
 
     family: str = "realnvp"
@@ -59,8 +66,10 @@ class FlowConfig:
     B: float = 30.0
     dtype: str = "float32"  # the reference's `paramtype` knob
     fused: bool = False
+    leapfrog_steps: int = 3    # hamiltonian: L per block
+    leapfrog_eps0: float = 0.05  # hamiltonian: initial step size
 
-    def build(self, key: jax.Array):
+    def build(self, key: jax.Array, score_fn: Callable | None = None):
         dt = _DTYPES[self.dtype]
         if self.family == "planar":
             return planarflow(key, self.dim, self.nlayers, dtype=dt)
@@ -72,6 +81,24 @@ class FlowConfig:
         if self.family == "nsf":
             return nsf(key, self.dim, tuple(self.hdims), K=self.K, B=self.B,
                        nlayers=self.nlayers, dtype=dt)
+        if self.family == "maf":
+            return maf(key, self.dim, tuple(self.hdims),
+                       nlayers=self.nlayers, dtype=dt)
+        if self.family == "iaf":
+            return iaf(key, self.dim, tuple(self.hdims),
+                       nlayers=self.nlayers, dtype=dt)
+        if self.family == "glow":
+            return glow(key, self.dim, tuple(self.hdims),
+                        nlayers=self.nlayers, dtype=dt)
+        if self.family == "hamiltonian":
+            if score_fn is None:
+                raise ValueError(
+                    "family='hamiltonian' needs the target's score function: "
+                    "FlowConfig.build(key, score_fn=jax.grad(target.log_prob))"
+                )
+            return hamiltonian_flow(
+                self.dim, score_fn, n_blocks=self.nlayers,
+                L=self.leapfrog_steps, eps0=self.leapfrog_eps0, dtype=dt)
         raise ValueError(f"unknown flow family {self.family!r}")
 
 
@@ -108,7 +135,7 @@ class TrainConfig:
         default_factory=OptimizerConfig)
     max_iters: int = 1000       # train_flow default (optimize's is 10_000)
     n_samples: int = 32         # MC samples per iteration
-    objective: str = "elbo_batch"  # 'elbo' | 'elbo_batch' | 'elbo_stl'
+    objective: str = "elbo_batch"  # 'elbo'|'elbo_batch'|'elbo_stl'|'elbo_iw'
     check_every: int = 100
     show_progress: bool = False
     train_base: bool = False    # the reference's `@leaf MvNormal` freezing
@@ -116,14 +143,20 @@ class TrainConfig:
     seed: int = 0
 
     def run(self, target_logp: Callable[[jax.Array], jax.Array],
+            score_fn: Callable | None = None,
             **overrides: Any) -> TrainResult:
-        """Build the flow and train it against ``target_logp``."""
+        """Build the flow and train it against ``target_logp``.
+        ``score_fn`` is required for (and only used by) the hamiltonian
+        family — pass the target's ∇logp."""
         from . import objectives
 
+        if self.objective not in ("elbo", "elbo_batch", "elbo_stl",
+                                  "elbo_iw"):
+            raise ValueError(f"unknown objective {self.objective!r}")
         vo = getattr(objectives, self.objective)
         key = jax.random.key(self.seed)
         kb, kt = jax.random.split(key)
-        flow = self.flow.build(kb)
+        flow = self.flow.build(kb, score_fn=score_fn)
         # overrides may replace config-set knobs, not just add new kwargs
         kwargs: dict[str, Any] = dict(
             max_iters=self.max_iters,

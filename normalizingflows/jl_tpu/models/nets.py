@@ -75,6 +75,14 @@ class Dense(Module):
     operands are cast to ``compute_dtype`` (bf16 → one native MXU pass)
     with f32 accumulation (`preferred_element_type`). Bias add, activation,
     and everything downstream (log-dets) remain f32.
+
+    Autodiff caveats of the ``compute_dtype`` path (it routes through a
+    `jax.custom_vjp`): (a) forward-mode AD — `jax.jvp` / `jax.jacfwd`
+    through a mixed-precision Dense — raises TypeError (custom_vjp defines
+    no JVP rule); use reverse mode, or ``compute_dtype=None``. (b) reverse-
+    mode cotangents are themselves computed with ``compute_dtype`` operand
+    matmuls (standard mixed-precision training semantics) — gradients are
+    NOT bitwise equal to the full-precision path's.
     """
 
     W: jax.Array

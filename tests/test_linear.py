@@ -39,9 +39,7 @@ def test_invertible_linear_roundtrip_and_logdet(key, dtype):
 
     # O(d) log-det == slogdet of the full assembled W (W = P L U')
     L, U = lin._plu()
-    P = np.zeros((DIM, DIM))
-    for j, i in enumerate(lin.perm):
-        P[i, j] = 1.0
+    P = np.asarray(lin.pmat, np.float64)
     W = P @ np.asarray(L, np.float64) @ np.asarray(U, np.float64)
     _, logabsdet = np.linalg.slogdet(W)
     assert float(ld[0]) == pytest.approx(float(logabsdet), abs=1e-5)
@@ -77,10 +75,16 @@ def test_mixing_flow_trains(key):
     assert after > before
     assert after > -1.0
 
-    # sign(s) must stay frozen (static) while log_s trains
-    for b in res.flow.bijector.bijectors:
-        if isinstance(b, InvertibleLinear):
-            assert isinstance(b.sign_s, tuple)
+    # P / sign(s) must stay frozen (non-trainable leaves) while log_s
+    # trains; the scan layout keeps them in the stacked GlowBlock
+    rep0 = flow.bijector.bijectors[0]
+    rep1 = res.flow.bijector.bijectors[0]
+    assert float(jnp.max(jnp.abs(
+        rep0.stacked.mix.sign_s - rep1.stacked.mix.sign_s))) == 0.0
+    assert float(jnp.max(jnp.abs(
+        rep0.stacked.mix.pmat - rep1.stacked.mix.pmat))) == 0.0
+    assert float(jnp.max(jnp.abs(
+        rep0.stacked.mix.log_s - rep1.stacked.mix.log_s))) > 0.0
 
 
 def test_glow_roundtrip_and_jit(key):
@@ -96,23 +100,60 @@ def test_glow_roundtrip_and_jit(key):
     assert bool(jnp.all(jnp.isfinite(lp)))
 
 
+def _unstack_blocks(rep):
+    from normalizingflows.jl_tpu.models.linear import GlowBlock
+
+    assert isinstance(rep.stacked, GlowBlock)
+    return [
+        jax.tree_util.tree_map(lambda leaf: leaf[i], rep.stacked)
+        for i in range(rep.n)
+    ]
+
+
 def test_glow_init_actnorms(key):
     """Data-dependent init: every ActNorm output over the init batch is
-    zero-mean/unit-variance at its position in the stack."""
+    zero-mean/unit-variance at its position in the stack (scan layout)."""
     flow = nf.glow(key, DIM, (8, 8), nlayers=3)
     x = jax.random.normal(jax.random.key(5), (1024, DIM)) * 2.0 + 1.0
     flow2 = nf.glow_init_actnorms(flow, x)
 
     h = x
     n_checked = 0
-    for b in flow2.bijector.bijectors:
-        if isinstance(b, ActNorm):
-            out, _ = b.forward_and_log_det(h)
-            assert float(jnp.max(jnp.abs(jnp.mean(out, axis=0)))) < 1e-3
-            assert float(jnp.max(jnp.abs(jnp.std(out, axis=0) - 1))) < 1e-2
-            n_checked += 1
-        h, _ = b.forward_and_log_det(h)
+    for block in _unstack_blocks(flow2.bijector.bijectors[0]):
+        out, _ = block.actnorm.forward_and_log_det(h)
+        assert float(jnp.max(jnp.abs(jnp.mean(out, axis=0)))) < 1e-3
+        assert float(jnp.max(jnp.abs(jnp.std(out, axis=0) - 1))) < 1e-2
+        n_checked += 1
+        h, _ = block.forward_and_log_det(h)
     assert n_checked == 3
     # original flow untouched (immutability)
     assert float(jnp.max(jnp.abs(
-        flow.bijector.bijectors[0].log_scale))) == 0.0
+        flow.bijector.bijectors[0].stacked.actnorm.log_scale))) == 0.0
+
+
+def test_glow_scan_matches_flat_chain(key):
+    """scan=True (Repeated GlowBlock) and scan=False (flat Chain) are the
+    same flow; deep glow compiles one block body (VERDICT r3 item 9)."""
+    stacked = nf.glow(key, DIM, (8, 8), nlayers=3, scan=True)
+    flat = nf.glow(key, DIM, (8, 8), nlayers=3, scan=False)
+    x = jax.random.normal(jax.random.key(6), (16, DIM))
+    y1, ld1 = stacked.bijector.forward_and_log_det(x)
+    y2, ld2 = flat.bijector.forward_and_log_det(x)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-5
+    assert float(jnp.max(jnp.abs(ld1 - ld2))) < 1e-5
+    x1, li1 = stacked.bijector.inverse_and_log_det(y1)
+    assert float(jnp.max(jnp.abs(x1 - x))) < 1e-4
+    assert float(jnp.max(jnp.abs(li1 + ld1))) < 1e-4
+
+
+def test_glow_mix_seed_varies_rotations(key):
+    """ADVICE r3: random restarts must be able to vary the host-side PLU
+    rotations via ``mix_seed``."""
+    f0 = nf.glow(key, DIM, (8, 8), nlayers=2, mix_seed=0)
+    f1 = nf.glow(key, DIM, (8, 8), nlayers=2, mix_seed=1)
+    p0 = f0.bijector.bijectors[0].stacked.mix.pmat
+    l0 = f0.bijector.bijectors[0].stacked.mix.lower
+    p1 = f1.bijector.bijectors[0].stacked.mix.pmat
+    l1 = f1.bijector.bijectors[0].stacked.mix.lower
+    assert (float(jnp.max(jnp.abs(p0 - p1))) > 0.0
+            or float(jnp.max(jnp.abs(l0 - l1))) > 0.0)
