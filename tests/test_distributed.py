@@ -1,10 +1,21 @@
-"""Multi-host launcher argument paths (parallel/distributed.py).
+"""Multi-host launcher (parallel/distributed.py): argument paths AND a real
+two-process execution.
 
-Real multi-process startup can't run here (1 host), but every decision the
-launcher makes before touching the network is testable: env-var cluster
-detection (NF_*/SLURM/OpenMPI), explicit-arg pass-through, idempotency on
-re-init, error propagation, and the 1-host fast paths.
+Env-var cluster detection (NF_*/SLURM/OpenMPI), explicit-arg pass-through,
+idempotency on re-init, error propagation, and the 1-host fast paths are
+unit-tested in-process. `test_two_process_initialize_and_step` then spawns
+two REAL processes (4 virtual CPU devices each) that initialize the JAX
+distributed runtime over localhost, build the global 8-device mesh, and run
+a sharded train step whose pmean/psum collectives cross the process
+boundary (VERDICT r3 item 4 — the launcher had never executed with
+process_count > 1).
 """
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 import jax
 import pytest
@@ -92,3 +103,51 @@ def test_single_host_helpers():
     assert dist.host_index() == 0
     assert not dist.is_multi_host()
     dist.barrier()  # no-op on one host, must not touch the network
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_initialize_and_step():
+    """2 processes × 4 virtual CPU devices: `initialize()` via the NF_* env
+    path, global 8-device mesh, one sharded ELBO train step (cross-process
+    pmean + gradient psum), `barrier()`, and both processes must agree on
+    the replicated loss/grad-norm exactly."""
+    worker = Path(__file__).parent / "_multiproc_worker.py"
+    port = _free_port()
+    env = dict(os.environ)
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line in worker output: {out[-500:]}"
+        results.append(tuple(float(v) for v in lines[0].split()[1:]))
+
+    loss0, gnorm0, loss2_0 = results[0]
+    assert results[0] == results[1], (
+        f"processes disagree on the replicated step: {results}")
+    assert loss2_0 < loss0  # the step actually descended
+    assert gnorm0 > 0.0
