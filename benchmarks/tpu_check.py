@@ -1,0 +1,220 @@
+"""TPU-compiled regression assertions (VERDICT r3 item 6).
+
+The pytest suite pins everything on CPU (tests/conftest.py) — compiled-
+Mosaic/XLA:TPU drift was previously only visible as benchmark noise. This
+script is the assertion-backed lane: it compiles the Pallas kernels and the
+training step ON THE REAL CHIP and asserts numerics against the CPU oracle
+(reference CI analogue: `/root/reference/.github/workflows/CI.yml:22-29`
+runs the whole suite on every push).
+
+Run before each round snapshot:
+    PYTHONPATH=.:/root/.axon_site python benchmarks/tpu_check.py
+Exits non-zero on any failed assertion; prints one PASS line per check.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import normalizingflows as nf
+from normalizingflows.jl_tpu.ops import rqs as rqs_oracle
+from normalizingflows.jl_tpu.ops import rqs_pallas
+
+CHECKS = []
+
+
+def check(fn):
+    CHECKS.append(fn)
+    return fn
+
+
+def _cpu():
+    return jax.devices("cpu")[0]
+
+
+def _tpu():
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        raise SystemExit("tpu_check requires a TPU device (got CPU only)")
+    return dev
+
+
+@check
+def rqs_forward_inverse_vs_oracle():
+    """Compiled fused RQS fwd/inv ≤ 2e-6 of the CPU oracle; round-trip."""
+    K, B, n = 10, 30.0, 1 << 16
+    kx, kr = jax.random.split(jax.random.key(0))
+    x = jax.random.uniform(kx, (n,), jnp.float32, -1.2 * B, 1.2 * B)
+    raw = jax.random.normal(kr, (n, 3 * K - 1), jnp.float32)
+
+    with jax.default_device(_cpu()):
+        px, py, d = rqs_oracle.rqs_params_from_raw(
+            jnp.asarray(raw), B)
+        y_ref, ld_ref = rqs_oracle.rqs_forward(jnp.asarray(x), px, py, d)
+        y_ref, ld_ref = np.asarray(y_ref), np.asarray(ld_ref)
+
+    with jax.default_device(_tpu()):
+        y, ld = jax.jit(
+            lambda x, raw: rqs_pallas.rqs_fused(x, raw, B)
+        )(x, raw)
+        yi, ldi = jax.jit(
+            lambda y, raw: rqs_pallas.rqs_fused(y, raw, B, inverse=True)
+        )(y, raw)
+        y, ld = np.asarray(y), np.asarray(ld)
+        yi, ldi = np.asarray(yi), np.asarray(ldi)
+
+    assert np.max(np.abs(y - y_ref)) <= 2e-6, np.max(np.abs(y - y_ref))
+    assert np.max(np.abs(ld - ld_ref)) <= 2e-5, np.max(np.abs(ld - ld_ref))
+    assert np.max(np.abs(yi - np.asarray(x))) <= 1e-4
+    assert np.max(np.abs(ldi + ld)) <= 2e-5
+
+
+@check
+def rqs_vjp_vs_oracle():
+    """Compiled in-kernel VJP matches XLA autodiff of the oracle."""
+    K, B, n = 10, 30.0, 1 << 12
+    kx, kr, kg = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.uniform(kx, (n,), jnp.float32, -B, B)
+    raw = jax.random.normal(kr, (n, 3 * K - 1), jnp.float32)
+    gy = jax.random.normal(kg, (n,), jnp.float32)
+
+    def loss_kernel(x, raw):
+        y, ld = rqs_pallas.rqs_fused(x, raw, B)
+        return jnp.sum(y * gy) + jnp.sum(ld)
+
+    def loss_oracle(x, raw):
+        px, py, d = rqs_oracle.rqs_params_from_raw(raw, B)
+        y, ld = rqs_oracle.rqs_forward(x, px, py, d)
+        return jnp.sum(y * gy) + jnp.sum(ld)
+
+    with jax.default_device(_cpu()):
+        gx_ref, graw_ref = jax.grad(loss_oracle, argnums=(0, 1))(
+            jnp.asarray(x), jnp.asarray(raw))
+        gx_ref, graw_ref = np.asarray(gx_ref), np.asarray(graw_ref)
+
+    with jax.default_device(_tpu()):
+        gx, graw = jax.jit(jax.grad(loss_kernel, argnums=(0, 1)))(x, raw)
+        gx, graw = np.asarray(gx), np.asarray(graw)
+
+    # gradient elements are O(1); absolute tolerance on the worst element
+    assert np.max(np.abs(gx - gx_ref)) <= 5e-4, np.max(np.abs(gx - gx_ref))
+    assert np.max(np.abs(graw - graw_ref)) <= 5e-4, \
+        np.max(np.abs(graw - graw_ref))
+
+
+@check
+def coupling_pair_stack_roundtrip():
+    """Compiled split-carry RealNVP stack: fwd/inv round-trip + CPU parity."""
+    flow = jax.jit(lambda k: nf.realnvp(k, 8, (16, 16), nlayers=4))(
+        jax.random.key(2))
+    x = jax.random.normal(jax.random.key(3), (256, 8))
+
+    with jax.default_device(_tpu()):
+        y, ld = jax.jit(flow.bijector.forward_and_log_det)(x)
+        x2, ld2 = jax.jit(flow.bijector.inverse_and_log_det)(y)
+        y, ld = np.asarray(y), np.asarray(ld)
+        x2, ld2 = np.asarray(x2), np.asarray(ld2)
+    assert np.max(np.abs(x2 - np.asarray(x))) <= 1e-4
+    assert np.max(np.abs(ld + ld2)) <= 1e-4
+
+    with jax.default_device(_cpu()):
+        y_ref, ld_ref = jax.jit(flow.bijector.forward_and_log_det)(
+            jax.device_put(x, _cpu()))
+        y_ref, ld_ref = np.asarray(y_ref), np.asarray(ld_ref)
+    assert np.max(np.abs(y - y_ref)) <= 2e-5, np.max(np.abs(y - y_ref))
+    assert np.max(np.abs(ld - ld_ref)) <= 2e-4
+
+
+@check
+def nsf_pallas_flow_matches_oracle_backend():
+    """NSF with the Pallas backend == NSF with the XLA-oracle backend,
+    both compiled on the chip."""
+    build = lambda backend: jax.jit(  # noqa: E731
+        lambda k: nf.nsf(k, 3, (8, 8), K=8, B=5.0, nlayers=2,
+                         backend=backend)
+    )(jax.random.key(4))
+    f_pal, f_ora = build("pallas"), build("oracle")
+    x = jax.random.normal(jax.random.key(5), (512, 3))
+    with jax.default_device(_tpu()):
+        y1, ld1 = jax.jit(f_pal.bijector.forward_and_log_det)(x)
+        y2, ld2 = jax.jit(f_ora.bijector.forward_and_log_det)(x)
+        d_y = float(jnp.max(jnp.abs(y1 - y2)))
+        d_ld = float(jnp.max(jnp.abs(ld1 - ld2)))
+    assert d_y <= 2e-6, d_y
+    assert d_ld <= 2e-5, d_ld
+
+
+@check
+def train_trajectory_tpu_vs_cpu():
+    """200 compiled ELBO train steps on the chip: finite, improving, and
+    final loss within tolerance of the IDENTICAL program on CPU (catches
+    compiled-numerics drift in the whole train step)."""
+    import functools
+
+    import optax
+
+    from normalizingflows.jl_tpu.utils.pytree import (
+        apply_mask, trainable_mask,
+    )
+
+    def run_on(device):
+        with jax.default_device(device):
+            flow = jax.jit(
+                lambda k: nf.realnvp(k, 2, (16, 16), nlayers=3)
+            )(jax.random.key(6))
+            target = nf.Banana(2, 1.0, 100.0)
+            optimizer = optax.adam(5e-4)
+            mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+
+            def step(carry, xs):
+                f, st = carry
+                loss, g = jax.value_and_grad(
+                    lambda f: -nf.elbo_from_samples(xs, f, target.log_prob)
+                )(f)
+                g = apply_mask(g, mask)
+                u, st = optimizer.update(g, st, f)
+                return (optax.apply_updates(f, u), st), loss
+
+            @functools.partial(jax.jit, static_argnums=1)
+            def train(key, n):
+                xs = flow.base.sample(key, (n, 64))
+                (_, _), losses = jax.lax.scan(
+                    step, (flow, optimizer.init(flow)), xs)
+                return losses
+
+            return np.asarray(train(jax.random.key(7), 200))
+
+    l_tpu = run_on(_tpu())
+    assert np.all(np.isfinite(l_tpu))
+    assert l_tpu[-20:].mean() < l_tpu[:20].mean()
+    l_cpu = run_on(_cpu())
+    # identical program, same keys: trajectories track within f32 slack
+    assert abs(l_tpu[-20:].mean() - l_cpu[-20:].mean()) <= 0.15, (
+        l_tpu[-20:].mean(), l_cpu[-20:].mean())
+
+
+def main():
+    failed = 0
+    for fn in CHECKS:
+        name = fn.__name__
+        try:
+            fn()
+            print(f"PASS {name}", flush=True)
+        except SystemExit:
+            raise
+        except Exception:
+            failed += 1
+            print(f"FAIL {name}", flush=True)
+            traceback.print_exc()
+    print(f"{len(CHECKS) - failed}/{len(CHECKS)} TPU checks passed",
+          flush=True)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
