@@ -69,19 +69,19 @@ def main():
     a = p.parse_args()
 
     bench("oracle (XLA)", oracle_transform, a.n, a.K)
-    shipped = rqs_pallas.LANES_FWD
+    shipped = (rqs_pallas.LANES_FWD, rqs_pallas.ROWS_FWD)
     try:
-        for lanes in (1024, 2048, 4096):
+        for rows, lanes in ((1, 2048), (1, 4096), (8, 512), (8, 1024),
+                            (8, 2048), (16, 1024)):
+            rqs_pallas.ROWS_FWD = rows
             rqs_pallas.LANES_FWD = lanes
-            bench(f"pallas elem-major lanes={lanes}", functools.partial(
-                rqs_pallas.rqs_fused, B=30.0), a.n, a.K)
-            bench(f"pallas param-major lanes={lanes}",
+            bench(f"pallas param-major r={rows} lanes={lanes}",
                   lambda x, raw_t: rqs_pallas.rqs_fused_t(x, raw_t, 30.0),
                   a.n, a.K, param_major=True)
     finally:
-        # restore the shipped default — the sweep must not leak tuning
+        # restore the shipped defaults — the sweep must not leak tuning
         # state into anything run after main() in the same process
-        rqs_pallas.LANES_FWD = shipped
+        rqs_pallas.LANES_FWD, rqs_pallas.ROWS_FWD = shipped
 
 
 if __name__ == "__main__":

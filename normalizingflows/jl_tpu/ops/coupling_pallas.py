@@ -70,16 +70,24 @@ def _sel_matrix(dim, idx, dtype):
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _dot(a, b):
+def _dot(a, b, cd=None):
+    """Matmul. ``cd`` (compute dtype, e.g. bf16) applies the same mixed-
+    precision policy as `nets._mixed_matmul` — bf16 operands, f32
+    accumulation, one native MXU pass — to the CONDITIONER matmuls only.
+    Selection matmuls always run HIGHEST: they are one-hot picks whose
+    product must reproduce x's values exactly."""
+    if cd is not None:
+        return jnp.dot(a.astype(cd), b.astype(cd),
+                       preferred_element_type=jnp.float32).astype(a.dtype)
     return jnp.dot(a, b, precision=_PREC, preferred_element_type=a.dtype)
 
 
-def _mlp(xb, weights, out_tanh):
+def _mlp(xb, weights, out_tanh, cd=None):
     """Apply a Dense chain [(W,b), ...] with leaky-relu hiddens."""
     h = xb
     depth = len(weights)
     for li, (W, b) in enumerate(weights):
-        h = _dot(h, W) + b
+        h = _dot(h, W, cd) + b
         if li < depth - 1:
             h = _leaky_relu(h)
         elif out_tanh:
@@ -87,12 +95,13 @@ def _mlp(xb, weights, out_tanh):
     return h
 
 
-def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse):
+def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse,
+                    cd=None):
     """One affine coupling on a (TILE, d) tile with selection matmuls."""
     x_a = _dot(x, sel_a)
     x_b = _dot(x, sel_b)
-    s = _mlp(x_b, s_weights, out_tanh=True)
-    t = _mlp(x_b, t_weights, out_tanh=False)
+    s = _mlp(x_b, s_weights, out_tanh=True, cd=cd)
+    t = _mlp(x_b, t_weights, out_tanh=False, cd=cd)
     if inverse:
         y_a = (x_a - t) * jnp.exp(-s)
         ld = ld - jnp.sum(s, axis=-1)
@@ -103,7 +112,8 @@ def _apply_coupling(x, ld, sel_a, sel_b, s_weights, t_weights, inverse):
     return y, ld
 
 
-def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
+def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse,
+               compute_dtype=None):
     """Whole-flow transform of a (TILE, d) tile. Pure jnp — shared by the
     forward kernel and the in-kernel vjp of the backward kernel.
 
@@ -136,14 +146,14 @@ def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
         odd_t = [at(p) for p in groups["odd"]["t"]]
         if not inverse:
             x, ld = _apply_coupling(x, ld, sel_ae, sel_be, even_s, even_t,
-                                    False)
+                                    False, compute_dtype)
             x, ld = _apply_coupling(x, ld, sel_ao, sel_bo, odd_s, odd_t,
-                                    False)
+                                    False, compute_dtype)
         else:
             x, ld = _apply_coupling(x, ld, sel_ao, sel_bo, odd_s, odd_t,
-                                    True)
+                                    True, compute_dtype)
             x, ld = _apply_coupling(x, ld, sel_ae, sel_be, even_s, even_t,
-                                    True)
+                                    True, compute_dtype)
         return x, ld
 
     order = range(n_blocks - 1, -1, -1) if inverse else range(n_blocks)
@@ -152,25 +162,26 @@ def _tile_flow(x, flat_weights, *, tree_def, sels, n_blocks, depth, inverse):
     return x, ld
 
 
-def _fwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
+def _fwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse,
+                compute_dtype=None):
     *w_refs, y_ref, ld_ref = refs
     y, ld = _tile_flow(
         x_ref[:], [r[:] for r in w_refs],
         tree_def=tree_def, sels=sels, n_blocks=n_blocks, depth=depth,
-        inverse=inverse,
+        inverse=inverse, compute_dtype=compute_dtype,
     )
     y_ref[:] = y
     ld_ref[:, 0] = ld
 
 
-def _mlp_fwd_cache(xb, weights, out_tanh):
+def _mlp_fwd_cache(xb, weights, out_tanh, cd=None):
     """_mlp with residuals: (out, (layer_inputs, layer_outputs))."""
     h = xb
     depth = len(weights)
     inputs, outputs = [], []
     for li, (W, b) in enumerate(weights):
         inputs.append(h)
-        z = _dot(h, W) + b
+        z = _dot(h, W, cd) + b
         if li < depth - 1:
             h = _leaky_relu(z)
         elif out_tanh:
@@ -181,7 +192,7 @@ def _mlp_fwd_cache(xb, weights, out_tanh):
     return h, (inputs, outputs)
 
 
-def _mlp_bwd(weights, cache, gout, out_tanh):
+def _mlp_bwd(weights, cache, gout, out_tanh, cd=None):
     """Manual reverse sweep of `_mlp`. Returns (g_input, [(gW, gb), ...]).
 
     Activation derivatives are reconstructed from the cached POST-
@@ -199,19 +210,19 @@ def _mlp_bwd(weights, cache, gout, out_tanh):
         else:
             g = g * jnp.where(h >= 0, h * 0 + 1.0, h * 0 + 0.01)
         W, _ = weights[li]
-        gW = _dot(inputs[li].T, g)
+        gW = _dot(inputs[li].T, g, cd)
         gb = jnp.sum(g, axis=0)
         gws[li] = (gW, gb)
-        g = _dot(g, W.T)
+        g = _dot(g, W.T, cd)
     return g, gws
 
 
-def _coupling_fwd_cache(x, ld, sel_a, sel_b, s_w, t_w, inverse):
+def _coupling_fwd_cache(x, ld, sel_a, sel_b, s_w, t_w, inverse, cd=None):
     """`_apply_coupling` keeping the residuals the reverse sweep needs."""
     x_a = _dot(x, sel_a)
     x_b = _dot(x, sel_b)
-    s, cs = _mlp_fwd_cache(x_b, s_w, out_tanh=True)
-    t, ct = _mlp_fwd_cache(x_b, t_w, out_tanh=False)
+    s, cs = _mlp_fwd_cache(x_b, s_w, out_tanh=True, cd=cd)
+    t, ct = _mlp_fwd_cache(x_b, t_w, out_tanh=False, cd=cd)
     if inverse:
         y_a = (x_a - t) * jnp.exp(-s)
         ld = ld - jnp.sum(s, axis=-1)
@@ -222,7 +233,8 @@ def _coupling_fwd_cache(x, ld, sel_a, sel_b, s_w, t_w, inverse):
     return y, ld, (x_a, s, t, cs, ct)
 
 
-def _coupling_bwd(g, gld, cache, sel_a, sel_b, s_w, t_w, inverse):
+def _coupling_bwd(g, gld, cache, sel_a, sel_b, s_w, t_w, inverse,
+                  cd=None):
     """Reverse sweep of one coupling. `g` is the cotangent of y, `gld` the
     (TILE,) cotangent of the running log-det (which every coupling's s
     receives, since ld is a plain sum over couplings)."""
@@ -240,14 +252,15 @@ def _coupling_bwd(g, gld, cache, sel_a, sel_b, s_w, t_w, inverse):
         g_xa = g_ya * e
         g_t = g_ya
         g_s = g_ya * x_a * e + gld_b
-    gxb_s, gws_s = _mlp_bwd(s_w, cs, g_s, out_tanh=True)
-    gxb_t, gws_t = _mlp_bwd(t_w, ct, g_t, out_tanh=False)
+    gxb_s, gws_s = _mlp_bwd(s_w, cs, g_s, out_tanh=True, cd=cd)
+    gxb_t, gws_t = _mlp_bwd(t_w, ct, g_t, out_tanh=False, cd=cd)
     g_xb = g_xb + gxb_s + gxb_t
     gx = _dot(g_xa, sel_a.T) + _dot(g_xb, sel_b.T)
     return gx, gws_s, gws_t
 
 
-def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
+def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse,
+                compute_dtype=None):
     n_w = tree_def.num_leaves
     w_refs = refs[:n_w]
     gy_ref, gld_ref = refs[n_w:n_w + 2]
@@ -293,7 +306,8 @@ def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
                      (i, "even", sel_ae, sel_be, es, et))
         for (bi, grp, sa, sb, sw, tw) in pairs:
             inputs.append((bi, grp, sa, sb, sw, tw, x))
-            x, _ = _apply_coupling(x, ld0, sa, sb, sw, tw, inverse)
+            x, _ = _apply_coupling(x, ld0, sa, sb, sw, tw, inverse,
+                                   compute_dtype)
 
     # reverse sweep: per coupling, rebuild its MLP caches from the saved
     # input, run the manual backward, and write each weight-grad slice
@@ -321,9 +335,10 @@ def _bwd_kernel(x_ref, *refs, tree_def, sels, n_blocks, depth, inverse):
     g = gy_ref[:]
     gld = gld_ref[:, 0]
     for (bi, grp, sa, sb, sw, tw, x_in) in reversed(inputs):
-        _, _, cache = _coupling_fwd_cache(x_in, ld0, sa, sb, sw, tw, inverse)
+        _, _, cache = _coupling_fwd_cache(x_in, ld0, sa, sb, sw, tw,
+                                          inverse, compute_dtype)
         g, gws_s, gws_t = _coupling_bwd(g, gld, cache, sa, sb, sw, tw,
-                                        inverse)
+                                        inverse, compute_dtype)
         write_grads(grp, "s", bi, gws_s)
         write_grads(grp, "t", bi, gws_t)
     gx_ref[:] = g
@@ -436,28 +451,34 @@ def _call_bwd(x, flat_w, gy, gld, static, interpret):
     return gx, list(gws)
 
 
-def _make_static(tree_def, sels, n_blocks, depth, inverse):
+def _make_static(tree_def, sels, n_blocks, depth, inverse,
+                 compute_dtype=None):
     return dict(tree_def=tree_def, sels=sels, n_blocks=n_blocks,
-                depth=depth, inverse=inverse)
+                depth=depth, inverse=inverse, compute_dtype=compute_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _fused(x, flat_w, tree_def, sels, n_blocks, depth, inverse, interpret):
-    static = _make_static(tree_def, sels, n_blocks, depth, inverse)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fused(x, flat_w, tree_def, sels, n_blocks, depth, inverse, interpret,
+           compute_dtype=None):
+    static = _make_static(tree_def, sels, n_blocks, depth, inverse,
+                          compute_dtype)
     return _call_fwd(x, flat_w, static, interpret)
 
 
 def _fused_fwd(x, flat_w, tree_def, sels, n_blocks, depth, inverse,
-               interpret):
+               interpret, compute_dtype=None):
     out = _fused(x, flat_w, tree_def, sels, n_blocks, depth, inverse,
-                 interpret)
+                 interpret, compute_dtype)
     return out, (x, flat_w)
 
 
-def _fused_bwd(tree_def, sels, n_blocks, depth, inverse, interpret, res, g):
+def _fused_bwd(tree_def, sels, n_blocks, depth, inverse, interpret,
+               compute_dtype, res, g):
     x, flat_w = res
     gy, gld = g
-    static = _make_static(tree_def, sels, n_blocks, depth, inverse)
+    static = _make_static(tree_def, sels, n_blocks, depth, inverse,
+                          compute_dtype)
     gx, gw = _call_bwd(x, flat_w, gy, gld, static, interpret)
     return gx, gw
 
@@ -472,6 +493,7 @@ def coupling_stack_fused(
     idx_odd: tuple,
     inverse: bool = False,
     interpret: bool = False,
+    compute_dtype=None,
 ):
     """Fused RealNVP stack transform.
 
@@ -505,6 +527,6 @@ def coupling_stack_fused(
     depth = len(groups["even"]["s"])
     y, ld = _fused(
         x2, flat_w, tree_def, (idx_even, comp_even, idx_odd, comp_odd),
-        n_blocks, depth, bool(inverse), bool(interpret),
+        n_blocks, depth, bool(inverse), bool(interpret), compute_dtype,
     )
     return y.reshape(x.shape), ld.reshape(batch_shape)

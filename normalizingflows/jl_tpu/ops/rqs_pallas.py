@@ -54,6 +54,12 @@ __all__ = ["rqs_fused", "rqs_fused_forward", "rqs_fused_inverse",
 # the smaller tile.
 LANES_FWD = 2048
 LANES_BWD = 1024
+# v3 layout: element rows per grid step. ROWS_FWD > 1 reshapes the element
+# stream to (ROWS, N/ROWS) so per-element tensors are (ROWS, L) — all 8
+# sublanes carry elements (the v2 (1, L) element rows left 7/8 of each
+# vreg idle for the non-K-row ops) — and the raw params become
+# (3K−1, ROWS, L) 3-D blocks. ROWS_FWD = 1 reproduces the v2 layout.
+ROWS_FWD = 8
 
 
 def _cumsum_rows(a, K):
@@ -120,7 +126,8 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
     k = jnp.sum((v >= grid_lo).astype(jnp.int32), axis=0, keepdims=True) - 1
     k = jnp.clip(k, 0, K - 1)
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (K, x.shape[-1]), 0) == k
+        jax.lax.broadcasted_iota(
+            jnp.int32, (K,) + tuple(x.shape[1:]), 0) == k
     ).astype(dtype)
 
     def pick(t):
@@ -174,6 +181,15 @@ def _fwd_kernel(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
     ld_ref[:] = ld
 
 
+def _fwd_kernel_rows(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
+    """v3 layout: x block (R, L), raw block (3K−1, R, L). The leading
+    unit axis added here mirrors the v2 (1, L) convention so
+    `_tile_transform` is layout-agnostic."""
+    y, ld = _tile_transform(x_ref[:][None], raw_ref[:], B, K, inverse)
+    y_ref[:] = y[0]
+    ld_ref[:] = ld[0]
+
+
 def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
                 *, B, K, inverse):
     def fn(x, raw):
@@ -196,7 +212,12 @@ def _to_rows(x_flat, raw_t, L):
 
 def _call_fwd(x_flat, raw_t, B, K, inverse, interpret):
     n = x_flat.shape[0]
-    L = LANES_FWD
+    L, R = LANES_FWD, ROWS_FWD
+    # rows layout pads N up to a multiple of R·L — only worth it when the
+    # stream fills at least one full block (large-batch sampling/serving);
+    # small batches (the demo train configs) keep the v2 row layout
+    if R > 1 and n >= R * L:
+        return _call_fwd_rows(x_flat, raw_t, B, K, inverse, interpret, L, R)
     xp, rp = _to_rows(x_flat, raw_t, L)
     grid = (xp.shape[1] // L,)
     kern = functools.partial(_fwd_kernel, B=B, K=K, inverse=inverse)
@@ -222,6 +243,42 @@ def _call_fwd(x_flat, raw_t, B, K, inverse, interpret):
         interpret=interpret,
     )(xp, rp)
     return y[0, :n], ld[0, :n]
+
+
+def _call_fwd_rows(x_flat, raw_t, B, K, inverse, interpret, L, R):
+    """v3: elements viewed as an (R, N/R) matrix so every per-element
+    tensor in the kernel is (R, L) — full 8-sublane vreg occupancy for the
+    non-K-row ops (the v2 (1, L) rows used 1 of 8 sublanes)."""
+    n = x_flat.shape[0]
+    n_pad = (-n) % (R * L)
+    np_ = n + n_pad
+    xp = jnp.pad(x_flat, (0, n_pad)).reshape(R, np_ // R)
+    rp = jnp.pad(raw_t, ((0, 0), (0, n_pad))).reshape(
+        raw_t.shape[0], R, np_ // R)
+    grid = (np_ // R // L,)
+    kern = functools.partial(_fwd_kernel_rows, B=B, K=K, inverse=inverse)
+    y, ld = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * K - 1, R, L), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
+            jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
+        ],
+        interpret=interpret,
+    )(xp, rp)
+    return y.reshape(-1)[:n], ld.reshape(-1)[:n]
 
 
 def _call_bwd(x_flat, raw_t, gy, gld, B, K, inverse, interpret):
