@@ -34,7 +34,7 @@ from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
 from .nets import MLP, Dense, fnn
 
-__all__ = ["NeuralSplineCoupling", "NSF_layer", "nsf"]
+__all__ = ["NeuralSplineCoupling", "NSF_layer", "SplinePairStack", "nsf"]
 
 
 @module
@@ -120,6 +120,103 @@ class NeuralSplineCoupling(Bijector):
         return self.mask.combine(x_a, y_b, y_c), jnp.sum(ld, axis=-1)
 
 
+@module
+class SplinePairStack(Bijector):
+    """N NSF blocks (complementary even/odd `NeuralSplineCoupling` pairs)
+    as ONE split-carry ``lax.scan`` — the NSF analogue of
+    `coupling.CouplingPairStack`: partition once, carry ``(x_even,
+    x_odd)``, riffle-combine once; per-block lane shuffles telescope away.
+    Mathematically identical to the `Repeated(Chain([...]))` layout
+    (pinned by tests/test_flows.py)."""
+
+    stacked: dict  # {'even'|'odd': MLP} conditioners, leading n axis
+    K: int = static_field()
+    B: float = static_field()
+    dim: int = static_field()
+    n: int = static_field()
+    backend: str = static_field(default="auto")
+    interpret: bool = static_field(default=False)
+    remat: bool = static_field(default=False)
+
+    @staticmethod
+    def from_pairs(pairs, remat: bool = False) -> "SplinePairStack":
+        c0, c1 = pairs[0]
+        dim = c0.mask.dim
+        even = tuple(range(0, dim, 2))
+        odd = tuple(range(1, dim, 2))
+        for c_e, c_o in pairs:
+            if c_e.mask.idx_a != even or c_o.mask.idx_a != odd:
+                raise ValueError(
+                    "SplinePairStack requires alternating even/odd masks; "
+                    "use the generic Repeated path for custom masks")
+
+        def stack(pick):
+            return jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *[pick(p) for p in pairs]
+            )
+
+        stacked = {
+            "even": stack(lambda p: p[0].nn),
+            "odd": stack(lambda p: p[1].nn),
+        }
+        return SplinePairStack(stacked, c0.K, c0.B, dim, len(pairs),
+                               c0.backend, c0.interpret, remat)
+
+    def _use_pallas(self) -> bool:
+        if self.backend == "auto":
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
+
+    def _transform(self, v, nn, cond, inverse):
+        n_t = v.shape[-1]
+        raw = nn(cond).reshape(cond.shape[:-1] + (n_t, 3 * self.K - 1))
+        if self._use_pallas():
+            y, ld = rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse,
+                                         interpret=self.interpret)
+        else:
+            xs, ys, ds = rqs.rqs_params_from_raw(raw, self.B)
+            fn = rqs.rqs_inverse if inverse else rqs.rqs_forward
+            y, ld = fn(v, xs, ys, ds)
+        return y, jnp.sum(ld, axis=-1)
+
+    def forward_and_log_det(self, x):
+        from ..ops.masks import interleave
+
+        xa, xb = x[..., 0::2], x[..., 1::2]
+
+        def body(carry, nns):
+            xa, xb, ld = carry
+            ya, lde = self._transform(xa, nns["even"], xb, False)
+            yb, ldo = self._transform(xb, nns["odd"], ya, False)
+            return (ya, yb, ld + lde + ldo), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        (xa, xb, ld), _ = jax.lax.scan(
+            body, (xa, xb, x[..., 0] * 0), self.stacked, length=self.n
+        )
+        return interleave(xa, xb, self.dim), ld
+
+    def inverse_and_log_det(self, y):
+        from ..ops.masks import interleave
+
+        ya, yb = y[..., 0::2], y[..., 1::2]
+
+        def body(carry, nns):
+            ya, yb, ld = carry
+            xb, ldo = self._transform(yb, nns["odd"], ya, True)
+            xa, lde = self._transform(ya, nns["even"], xb, True)
+            return (xa, xb, ld + lde + ldo), None
+
+        if self.remat:
+            body = jax.checkpoint(body)
+        (ya, yb, ld), _ = jax.lax.scan(
+            body, (ya, yb, y[..., 0] * 0), self.stacked, length=self.n,
+            reverse=True,
+        )
+        return interleave(ya, yb, self.dim), ld
+
+
 def NSF_layer(
     key: jax.Array,
     dim: int,
@@ -167,11 +264,14 @@ def nsf(
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
-    blocks = [
-        Chain(NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret,
-                        identity_init))
+    pairs = [
+        NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret,
+                  identity_init)
         for k in jax.random.split(key, nlayers)
     ]
-    if scan and nlayers > 1:
-        return create_flow([stack_bijectors(blocks, remat=remat)], q0)
-    return create_flow(blocks, q0)
+    if scan:
+        # split-carry scan (see SplinePairStack): per-block
+        # partition/combine elided, one RQS call site at any depth
+        return create_flow([SplinePairStack.from_pairs(pairs, remat=remat)],
+                           q0)
+    return create_flow([Chain(p) for p in pairs], q0)

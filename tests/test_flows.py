@@ -189,3 +189,35 @@ def test_remat_matches_no_remat(key):
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         assert jnp.allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["realnvp", "nsf"])
+def test_pair_stack_matches_flat_chain(name, key):
+    """The split-carry scan layouts (CouplingPairStack / SplinePairStack)
+    are the SAME flow as the flat per-layer Chain (scan=False) — fwd, ld,
+    inverse, and ELBO gradients all agree (VERDICT r3 item 2 rewrite)."""
+    if name == "realnvp":
+        build = lambda scan: nf.realnvp(  # noqa: E731
+            key, DIM, (16, 16), nlayers=3, scan=scan)
+    else:
+        build = lambda scan: nf.nsf(  # noqa: E731
+            key, DIM, (16, 16), K=8, B=5.0, nlayers=3, scan=scan)
+    stacked, flat = build(True), build(False)
+    x = jax.random.normal(jax.random.key(1), (32, DIM))
+    y1, ld1 = stacked.bijector.forward_and_log_det(x)
+    y2, ld2 = flat.bijector.forward_and_log_det(x)
+    assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-5
+    assert float(jnp.max(jnp.abs(ld1 - ld2))) < 1e-5
+    x1, li1 = stacked.bijector.inverse_and_log_det(y2)
+    x2, li2 = flat.bijector.inverse_and_log_det(y2)
+    assert float(jnp.max(jnp.abs(x1 - x2))) < 1e-5
+    assert float(jnp.max(jnp.abs(li1 - li2))) < 1e-5
+
+    target = nf.Banana(DIM, 1.0, 10.0)
+    kk = jax.random.key(2)
+    g1 = jax.grad(lambda f: -nf.elbo_batch(kk, f, target.log_prob, 16))(
+        stacked)
+    g2 = jax.grad(lambda f: -nf.elbo_batch(kk, f, target.log_prob, 16))(
+        flat)
+    n1, n2 = float(global_norm(g1)), float(global_norm(g2))
+    assert abs(n1 - n2) / max(n2, 1e-9) < 1e-4, (n1, n2)
