@@ -143,11 +143,14 @@ def realnvp_train_flops(dim, hdims, nlayers, batch):
 
 
 def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
-                       compute_dtype=None, n=30):
+                       compute_dtype=None, n=30, presample=True):
     """MFU of the wide-RealNVP training step (MXU-bound regime).
     ``remat=True``: at this width the scan's saved activations cost ~1 ms
     of HBM traffic per step — recomputing them is the right trade
-    (measured 2.7 → 2.0 ms bf16, benchmarks/wide_ablate.py)."""
+    (measured 2.7 → 2.0 ms bf16, benchmarks/wide_ablate.py).
+    ``presample=True``: all steps' base draws in ONE fused RNG op before
+    the scan (bench.py's established chunk methodology) — the per-step
+    threefry otherwise charges RNG time to the train-step slope."""
     flow = jax.jit(
         lambda k: nf.realnvp(k, dim, hdims, nlayers=nlayers,
                              compute_dtype=compute_dtype, remat=True)
@@ -156,11 +159,13 @@ def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
     optimizer = optax.adam(1e-3)
     mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
 
-    def train_step(carry, key):
+    def train_step(carry, xs_or_key):
         f, st = carry
 
         def loss(f):
-            return -nf.elbo_batch(key, f, target.log_prob, batch)
+            if presample:
+                return -nf.elbo_from_samples(xs_or_key, f, target.log_prob)
+            return -nf.elbo_batch(xs_or_key, f, target.log_prob, batch)
 
         loss_val, grads = jax.value_and_grad(loss)(f)
         grads = apply_mask(grads, mask)
@@ -171,8 +176,10 @@ def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
 
     @functools.partial(jax.jit, static_argnums=1)
     def run(key, m):
+        xs = (flow.base.sample(key, (m, batch)) if presample
+              else jax.random.split(key, m))
         (_, _), losses = jax.lax.scan(
-            train_step, (flow, opt_state), jax.random.split(key, m)
+            train_step, (flow, opt_state), xs
         )
         return losses[-1]
 
