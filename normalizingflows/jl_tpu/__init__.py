@@ -42,12 +42,24 @@ from .models.flows import create_flow
 from .models.nets import MLP, fnn, mlp3
 from .models.coupling import (
     AffineCoupling,
+    CouplingPairStack,
     FusedRealNVP,
     RealNVP_layer,
     realnvp,
 )
-from .models.spline import NeuralSplineCoupling, NSF_layer, nsf
-from .models.linear import ActNorm, InvertibleLinear, glow, glow_init_actnorms
+from .models.spline import (
+    NeuralSplineCoupling,
+    NSF_layer,
+    SplinePairStack,
+    nsf,
+)
+from .models.linear import (
+    ActNorm,
+    GlowBlock,
+    InvertibleLinear,
+    glow,
+    glow_init_actnorms,
+)
 from .models.autoregressive import (
     MADE,
     MaskedAutoregressive,
@@ -117,10 +129,11 @@ __all__ = [
     "TransformedDistribution", "transformed",
     # flows
     "create_flow", "MLP", "fnn", "mlp3",
-    "AffineCoupling", "FusedRealNVP", "RealNVP_layer", "realnvp",
-    "NeuralSplineCoupling", "NSF_layer", "nsf",
+    "AffineCoupling", "CouplingPairStack", "FusedRealNVP", "RealNVP_layer",
+    "realnvp",
+    "NeuralSplineCoupling", "NSF_layer", "SplinePairStack", "nsf",
     "MADE", "MaskedAutoregressive", "Permute", "iaf", "maf", "maf_layer",
-    "ActNorm", "InvertibleLinear", "glow", "glow_init_actnorms",
+    "ActNorm", "GlowBlock", "InvertibleLinear", "glow", "glow_init_actnorms",
     "PlanarLayer", "RadialLayer", "planarflow", "radialflow",
     "LeapFrog", "hamiltonian_flow", "momentum_normalization_layer",
     # targets

@@ -29,7 +29,7 @@ from ..ops import rqs
 from ..ops import rqs_pallas
 from ..ops.masks import PartitionMask
 from ..utils.pytree import module, static_field
-from .bijector import Bijector, Chain, stack_bijectors
+from .bijector import Bijector, Chain
 from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
 from .nets import MLP, Dense, fnn
