@@ -108,9 +108,13 @@ class FusedRealNVP(Bijector):
     idx_even: tuple = static_field()
     idx_odd: tuple = static_field()
     interpret: bool = static_field(default=False)
+    # bf16-operand/f32-accum policy for the in-kernel conditioner matmuls
+    # (fwd AND hand-written backward); selection matmuls stay exact
+    compute_dtype: object = static_field(default=None)
 
     @staticmethod
-    def from_blocks(blocks, interpret: bool = False) -> "FusedRealNVP":
+    def from_blocks(blocks, interpret: bool = False,
+                    compute_dtype=None) -> "FusedRealNVP":
         """Build from a list of `[c_even, c_odd]` AffineCoupling pairs (as
         produced by `RealNVP_layer`), stacking weights across blocks."""
 
@@ -135,19 +139,21 @@ class FusedRealNVP(Bijector):
         }
         return FusedRealNVP(
             groups, blocks[0][0].mask.idx_a, blocks[0][1].mask.idx_a,
-            interpret,
+            interpret, compute_dtype,
         )
 
     def forward_and_log_det(self, x):
         return coupling_pallas.coupling_stack_fused(
             x, self.groups, self.idx_even, self.idx_odd,
             inverse=False, interpret=self.interpret,
+            compute_dtype=self.compute_dtype,
         )
 
     def inverse_and_log_det(self, y):
         return coupling_pallas.coupling_stack_fused(
             y, self.groups, self.idx_even, self.idx_odd,
             inverse=True, interpret=self.interpret,
+            compute_dtype=self.compute_dtype,
         )
 
 
@@ -278,7 +284,8 @@ def realnvp(
     ]
     if fused:
         return create_flow(
-            [FusedRealNVP.from_blocks(pairs, interpret=interpret)], q0
+            [FusedRealNVP.from_blocks(pairs, interpret=interpret,
+                                      compute_dtype=compute_dtype)], q0
         )
     if scan:
         # split-carry scan: per-block partition/combine elided entirely;
