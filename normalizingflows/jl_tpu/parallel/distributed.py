@@ -63,13 +63,8 @@ def detect_cluster_env(
     if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
         nodelist = env.get("SLURM_STEP_NODELIST", env.get("SLURM_NODELIST"))
         if nodelist:
-            # "host[001-004],other" → "host001"; plain "hosta,hostb" → hosta
-            first = nodelist.split(",")[0]
-            if "[" in first:
-                prefix, rng = first.split("[", 1)
-                first = prefix + rng.split("-")[0].split(",")[0].rstrip("]")
             return (
-                f"{first}:{_DEFAULT_PORT}",
+                f"{_slurm_first_host(nodelist)}:{_DEFAULT_PORT}",
                 int(env["SLURM_NTASKS"]),
                 int(env["SLURM_PROCID"]),
             )
@@ -83,6 +78,34 @@ def detect_cluster_env(
         )
 
     return None, None, None
+
+
+def _slurm_first_host(nodelist: str) -> str:
+    """First hostname of a SLURM compressed nodelist.
+
+    Handles every `scontrol show hostnames`-style shape:
+    ``host[001-004,007]`` → host001; ``host[005,009-012]`` → host005;
+    ``hosta,hostb`` → hosta; ``tpu-[3-4]srv,x`` (suffix after brackets) →
+    tpu-3srv. Only the FIRST host is needed (it runs the coordinator).
+    """
+    # split on commas OUTSIDE brackets to isolate the first element
+    depth, first = 0, []
+    for ch in nodelist:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        first.append(ch)
+    s = "".join(first)
+    if "[" not in s:
+        return s
+    prefix, rest = s.split("[", 1)
+    body, _, suffix = rest.partition("]")
+    # first element of the range list: "001-004,007" → "001"
+    first_item = body.split(",")[0].split("-")[0]
+    return prefix + first_item + suffix
 
 
 def initialize(

@@ -40,6 +40,18 @@ def test_detect_slurm_plain_and_ranged_nodelist():
     assert addr.startswith("tpu-node017:")
 
 
+def test_slurm_first_host_shapes():
+    """`scontrol`-style compressed nodelist shapes (r3 weak item 5)."""
+    f = dist._slurm_first_host
+    assert f("host[001-004,007]") == "host001"
+    assert f("host[005,009-012]") == "host005"
+    assert f("hosta,hostb") == "hosta"
+    assert f("host[001,003]") == "host001"
+    assert f("tpu-[3-4]srv,other[1-2]") == "tpu-3srv"
+    assert f("single") == "single"
+    assert f("n[10]") == "n10"
+
+
 def test_detect_slurm_falls_back_to_nodelist_var():
     env = {"SLURM_PROCID": "0", "SLURM_NTASKS": "2",
            "SLURM_NODELIST": "n1,n2"}
