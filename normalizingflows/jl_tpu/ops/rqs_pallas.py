@@ -54,12 +54,16 @@ __all__ = ["rqs_fused", "rqs_fused_forward", "rqs_fused_inverse",
 # the smaller tile.
 LANES_FWD = 2048
 LANES_BWD = 1024
-# v3 layout: element rows per grid step. ROWS_FWD > 1 reshapes the element
-# stream to (ROWS, N/ROWS) so per-element tensors are (ROWS, L) — all 8
-# sublanes carry elements (the v2 (1, L) element rows left 7/8 of each
-# vreg idle for the non-K-row ops) — and the raw params become
-# (3K−1, ROWS, L) 3-D blocks. ROWS_FWD = 1 reproduces the v2 layout.
-ROWS_FWD = 8
+# v3 layout experiment: ROWS_FWD > 1 reshapes the element stream to
+# (ROWS, N/ROWS) so per-element tensors are (ROWS, L) — all 8 sublanes
+# carry elements — and the raw params become (3K−1, ROWS, L) 3-D blocks.
+# MEASURED SLOWER than v2 on v5e (97 vs 122 GB/s at 4M elements,
+# benchmarks/rqs_tune.py 2026-08-21): the (1, L) vreg under-occupancy it
+# targets is a minor term (the K-row tensors dominate the op count), and
+# the 3-D raw blocks fragment the HBM→VMEM DMA into R× smaller row
+# segments. Default stays 1 (= the v2 layout); the path is kept for the
+# sweep to re-check on future toolchains.
+ROWS_FWD = 1
 
 
 def _cumsum_rows(a, K):
@@ -86,6 +90,10 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
     mbh = _oracle.DEFAULT_MIN_BIN_HEIGHT
     mder = _oracle.DEFAULT_MIN_DERIVATIVE
 
+    # raw may arrive in a narrower storage dtype (bf16: halves the
+    # dominant HBM traffic term — 3K−1 of the 3K+2 words per element);
+    # all in-kernel math runs in x's dtype
+    raw = raw.astype(dtype)
     w_raw = raw[:K]
     h_raw = raw[K:2 * K]
     d_raw = raw[2 * K:]
