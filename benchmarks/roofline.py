@@ -289,10 +289,19 @@ def write_md(rows):
         "",
         "Interpretation:",
         "",
-        "- The RQS kernel is elementwise with ~0.45 flop/B arithmetic",
-        "  intensity — the v5e ridge point is ~240 flop/B, so its ceiling",
-        "  is HBM bandwidth, not the MXU. % of roof is the honest",
-        "  speed-of-light figure for this op.",
+        "- The RQS kernel's naive flop/byte intensity (~1.7) puts it left",
+        "  of the MXU ridge, but its binding roof is the VPU, NOT HBM —",
+        "  MEASURED (2026-08-21, benchmarks/rqs_tune.py): reading raw in",
+        "  bf16 (halving the dominant traffic term) moved throughput only",
+        "  1.55 → 1.71 Gelem/s (+10%), and an 8-sublane element layout",
+        "  (v3) that targets vreg occupancy was 20-35% SLOWER. Per element",
+        "  the kernel executes ~30 transcendentals (2 softmaxes, softplus,",
+        "  logs — multi-slot on the VPU) plus ~120 one-hot gather MACs",
+        "  over K sublane rows, ~5 op-slots/B. The HBM %% below is kept",
+        "  for continuity; the honest ceiling at K=10 is VPU throughput,",
+        "  and the kernel's win over the XLA oracle (7.3x on the NSF",
+        "  train config) already reflects eliminating the oracle's",
+        "  materialized knot tables.",
         "- The wide-RealNVP training step is matmul-dominated; its figure",
         "  is MFU (model flops / peak). The demo-size configs (d=2,",
         "  [16,16]) are dispatch/latency-bound and intentionally NOT",

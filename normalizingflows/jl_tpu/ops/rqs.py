@@ -40,6 +40,19 @@ DEFAULT_MIN_BIN_HEIGHT = 1e-3
 DEFAULT_MIN_DERIVATIVE = 1e-3
 
 
+def _exact_cumsum(a: jax.Array) -> jax.Array:
+    """Running sum over the last (K-sized) axis with EXACT per-step adds.
+
+    ``jnp.cumsum`` on TPU may lower to a triangular-ones matmul whose
+    DEFAULT MXU precision rounds f32 operands like bf16 — measured ~2e-4
+    relative knot-position drift at K=10, B=30 (the fused Pallas kernel
+    avoids the same trap in-kernel, `rqs_pallas._cumsum_rows`, and the
+    on-chip `benchmarks/tpu_check.py` lane caught the ORACLE drifting
+    0.0063 against it). K is tiny; ``associative_scan`` lowers to exact
+    vector adds on every backend."""
+    return jax.lax.associative_scan(jnp.add, a, axis=-1)
+
+
 def rqs_params_from_raw(
     raw: jax.Array,
     B: float,
@@ -69,12 +82,12 @@ def rqs_params_from_raw(
     heights = min_bin_height + (1.0 - min_bin_height * K) * heights
 
     two_B = jnp.asarray(2.0 * B, dtype)
-    xs = -B + two_B * jnp.cumsum(widths, axis=-1)
+    xs = -B + two_B * _exact_cumsum(widths)
     xs = jnp.concatenate(
         [jnp.full_like(xs[..., :1], -B), xs], axis=-1
     )
     xs = xs.at[..., -1].set(jnp.asarray(B, dtype))
-    ys = -B + two_B * jnp.cumsum(heights, axis=-1)
+    ys = -B + two_B * _exact_cumsum(heights)
     ys = jnp.concatenate(
         [jnp.full_like(ys[..., :1], -B), ys], axis=-1
     )
