@@ -2,7 +2,8 @@
 r3 item-2 headline), one config per invocation — minimal serial compiles
 for slow remote-compile tunnels.
 
-Run: PYTHONPATH=.:/root/.axon_site python benchmarks/mfu_probe.py [batch]
+Run: PYTHONPATH=.:/root/.axon_site python benchmarks/mfu_probe.py \
+         [batch] [dim] [hidden]
 """
 
 import json
@@ -16,6 +17,8 @@ import roofline  # noqa: E402
 
 if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    r = roofline.measure_wide_train(batch=batch, n=10,
-                                    compute_dtype=jnp.bfloat16)
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    hd = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    r = roofline.measure_wide_train(dim=dim, hdims=(hd, hd), batch=batch,
+                                    n=10, compute_dtype=jnp.bfloat16)
     print(json.dumps(r), flush=True)
