@@ -200,6 +200,53 @@ def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
     }
 
 
+def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
+                           batch=4096, compute_dtype=None, n=10):
+    """NSF training step in the THROUGHPUT regime (the bench's NSF row is
+    the latency-class demo config, batch 64/d=2). The step mixes
+    conditioner matmuls (MXU) with the fused RQS kernel (VPU), so the
+    single-roof MFU model does not apply; reported as steps/s plus the
+    spline-element throughput (batch × dim × nlayers per forward)."""
+    flow = jax.jit(
+        lambda k: nf.nsf(k, dim, hdims, K=K, nlayers=nlayers,
+                         identity_init=True, compute_dtype=compute_dtype,
+                         remat=True)
+    )(jax.random.key(0))
+    target = nf.Banana(dim, 1.0, 100.0)
+    optimizer = optax.adam(1e-3)
+    mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+
+    def train_step(carry, xs):
+        f, st = carry
+        loss_val, grads = jax.value_and_grad(
+            lambda f: -nf.elbo_from_samples(xs, f, target.log_prob))(f)
+        grads = apply_mask(grads, mask)
+        updates, st = optimizer.update(grads, st, f)
+        return (optax.apply_updates(f, updates), st), loss_val
+
+    opt_state = optimizer.init(flow)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(key, m):
+        xs = flow.base.sample(key, (m, batch))
+        (_, _), losses = jax.lax.scan(train_step, (flow, opt_state), xs)
+        return losses[-1]
+
+    per_step = _slope_time(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    elems = batch * dim * nlayers  # spline elements per forward
+    dt = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+    return {
+        "measurement": f"nsf_wide_train_{dt}",
+        "config": f"d={dim}, hdims={list(hdims)}, K={K}, L={nlayers}, "
+                  f"batch={batch}",
+        "steps_per_s": round(1.0 / per_step, 1),
+        "spline_elems_per_fwd": elems,
+        "spline_Melems_per_s": round(elems / per_step / 1e6, 1),
+        "roofline": "mixed MXU(conditioners)+VPU(RQS) — no single roof",
+        "device": str(jax.devices()[0]),
+    }
+
+
 # --------------------------------------------------- fused coupling forward
 
 def coupling_fwd_flops_bytes(dim, hdims, nlayers, batch):
@@ -276,11 +323,14 @@ def write_md(rows):
                 f"{r.get('samples_per_s')} Msamples/s")
         cost = (f"{r['matmul_flops_per_step']:.3g} flop/step"
                 if "matmul_flops_per_step" in r else
+                f"{r['spline_elems_per_fwd']} spline elems/fwd "
+                f"({r['spline_Melems_per_s']} M/s)"
+                if "spline_elems_per_fwd" in r else
                 f"{r.get('bytes_per_elem', r.get('bytes_per_pass'))} B, "
                 f"{r.get('flops_per_elem', r.get('flops_per_pass'))} flop")
         ach = (f"{r['achieved_TFLOPs']} TFLOP/s" if "achieved_TFLOPs" in r
                else f"{r['achieved_GBps']} GB/s")
-        pct = r.get("pct_of_roofline_MFU", r.get("pct_of_roofline"))
+        pct = r.get("pct_of_roofline_MFU", r.get("pct_of_roofline", "—"))
         lines.append(
             f"| {r['measurement']} | {r['config']} | {rate} | {cost} | "
             f"{ach} | {r['roofline']} | {pct}% |"
@@ -332,6 +382,10 @@ def main():
     rows.append(measure_wide_train(batch=1024 if a.quick else 4096,
                                    compute_dtype=jnp.bfloat16,
                                    n=10 if a.quick else 30))
+    print(json.dumps(rows[-1]), flush=True)
+    rows.append(measure_nsf_wide_train(batch=1024 if a.quick else 4096,
+                                       compute_dtype=jnp.bfloat16,
+                                       n=5 if a.quick else 10))
     print(json.dumps(rows[-1]), flush=True)
     if jax.default_backend() == "tpu":
         # default XLA sampling at saturating batch (the production path;

@@ -66,10 +66,12 @@ class NeuralSplineCoupling(Bijector):
         backend: str = "auto",
         interpret: bool = False,
         identity_init: bool = False,
+        compute_dtype=None,
     ) -> "NeuralSplineCoupling":
         mask = PartitionMask.make(dim, mask_idx)
         n_t = mask.n_transformed
-        nn = fnn(key, dim - n_t, hdims, (3 * K - 1) * n_t, dtype=dtype)
+        nn = fnn(key, dim - n_t, hdims, (3 * K - 1) * n_t, dtype=dtype,
+                 compute_dtype=compute_dtype)
         if identity_init:
             # Make the layer the exact identity at initialization: zero the
             # final Dense (W=0, widths/heights softmax(0) → uniform knots,
@@ -85,7 +87,7 @@ class NeuralSplineCoupling(Bijector):
             c = float(np.log(np.expm1(1.0 - DEFAULT_MIN_DERIVATIVE)))
             b = b.at[:, 2 * K:].set(jnp.asarray(c, dtype))
             last = Dense(jnp.zeros_like(last.W), b.reshape(-1),
-                         last.activation)
+                         last.activation, last.compute_dtype)
             nn = MLP(nn.layers[:-1] + (last,))
         return NeuralSplineCoupling(nn, K, float(B), mask, backend, interpret)
 
@@ -227,14 +229,17 @@ def NSF_layer(
     backend: str = "auto",
     interpret: bool = False,
     identity_init: bool = False,
+    compute_dtype=None,
 ) -> list[NeuralSplineCoupling]:
     """One NSF block: two spline couplings with complementary masks
     (reference `neuralspline.jl:169-184`)."""
     k1, k2 = jax.random.split(key)
     c1 = NeuralSplineCoupling.make(k1, dim, hdims, K, B, range(0, dim, 2),
-                                   dtype, backend, interpret, identity_init)
+                                   dtype, backend, interpret, identity_init,
+                                   compute_dtype)
     c2 = NeuralSplineCoupling.make(k2, dim, hdims, K, B, range(1, dim, 2),
-                                   dtype, backend, interpret, identity_init)
+                                   dtype, backend, interpret, identity_init,
+                                   compute_dtype)
     return [c1, c2]
 
 
@@ -251,6 +256,7 @@ def nsf(
     interpret: bool = False,
     identity_init: bool = False,
     remat: bool = False,
+    compute_dtype=None,
 ) -> TransformedDistribution:
     """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
 
@@ -266,7 +272,7 @@ def nsf(
     dim = q0.event_dim
     pairs = [
         NSF_layer(k, dim, hdims, K, B, dtype, backend, interpret,
-                  identity_init)
+                  identity_init, compute_dtype)
         for k in jax.random.split(key, nlayers)
     ]
     if scan:

@@ -88,3 +88,36 @@ def test_partition_mask():
     xa, xb, xc = m.partition(x)
     assert xa.shape == (2, 3) and xb.shape == (2, 2) and xc.shape == (2, 0)
     assert jnp.allclose(m.combine(xa, xb, xc), x)
+
+
+def test_partition_mask_fast_paths_match_gather():
+    """Strided-slice partition and riffle combine (the alternating-mask
+    fast paths, VERDICT r3 item 2) must agree exactly with the general
+    gather/scatter fallback on every mask shape, including odd dims and
+    non-strided index sets."""
+    import numpy as np
+
+    from normalizingflows.jl_tpu.ops.masks import PartitionMask, interleave
+
+    rng = np.random.default_rng(0)
+    for dim in (2, 3, 5, 8, 128):
+        x = jnp.asarray(rng.normal(size=(7, dim)).astype(np.float32))
+        for parity in (0, 1):
+            m = PartitionMask.alternating(dim, parity)
+            xa, xb, xc = m.partition(x)
+            # reference semantics straight from the static index sets
+            assert jnp.all(xa == x[..., jnp.asarray(m.idx_a)])
+            assert jnp.all(xb == x[..., jnp.asarray(m.idx_b)])
+            out = m.combine(xa, xb, xc)
+            assert jnp.all(out == x), (dim, parity)
+
+    # non-strided mask exercises the scatter fallback
+    m = PartitionMask.make(6, (0, 1, 4))
+    x = jnp.asarray(rng.normal(size=(3, 6)).astype(np.float32))
+    xa, xb, xc = m.partition(x)
+    assert jnp.all(m.combine(xa, xb, xc) == x)
+
+    # interleave: odd-dim riffle pads and trims correctly
+    a = jnp.asarray([[1.0, 3.0, 5.0]])
+    b = jnp.asarray([[2.0, 4.0]])
+    assert jnp.all(interleave(a, b, 5) == jnp.asarray([[1., 2., 3., 4., 5.]]))
