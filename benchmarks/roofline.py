@@ -201,7 +201,8 @@ def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
 
 
 def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
-                           batch=4096, compute_dtype=None, n=10):
+                           batch=4096, compute_dtype=None, n=10,
+                           remat=True):
     """NSF training step in the THROUGHPUT regime (the bench's NSF row is
     the latency-class demo config, batch 64/d=2). The step mixes
     conditioner matmuls (MXU) with the fused RQS kernel (VPU), so the
@@ -210,7 +211,7 @@ def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
     flow = jax.jit(
         lambda k: nf.nsf(k, dim, hdims, K=K, nlayers=nlayers,
                          identity_init=True, compute_dtype=compute_dtype,
-                         remat=True)
+                         remat=remat)
     )(jax.random.key(0))
     target = nf.Banana(dim, 1.0, 100.0)
     optimizer = optax.adam(1e-3)
@@ -236,7 +237,8 @@ def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
     elems = batch * dim * nlayers  # spline elements per forward
     dt = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
     return {
-        "measurement": f"nsf_wide_train_{dt}",
+        "measurement": f"nsf_wide_train_{dt}"
+                       + ("" if remat else "_noremat"),
         "config": f"d={dim}, hdims={list(hdims)}, K={K}, L={nlayers}, "
                   f"batch={batch}",
         "steps_per_s": round(1.0 / per_step, 1),

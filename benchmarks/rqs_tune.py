@@ -94,6 +94,20 @@ def main():
         bench("pallas param-major bf16-raw (DMA-vs-compute diag)",
               lambda x, raw_t: rqs_pallas.rqs_fused_t(x, raw_t, 30.0),
               a.n, a.K, param_major=True, raw_dtype=jnp.bfloat16)
+
+        # fwd+bwd rate: value_and_grad through the custom VJP — measures
+        # the in-kernel-vjp backward kernel (LANES_BWD tile), the NSF
+        # train step's dominant RQS cost
+        def fwd_bwd(x, raw_t):
+            def loss(x, raw_t):
+                y, ld = rqs_pallas.rqs_fused_t(x, raw_t, 30.0)
+                return jnp.sum(y) + jnp.sum(ld)
+            _, (gx, graw) = jax.value_and_grad(loss, argnums=(0, 1))(
+                x, raw_t)
+            return gx + graw[0]
+
+        bench("pallas fwd+bwd (train path)", fwd_bwd, a.n, a.K,
+              param_major=True)
     finally:
         # restore the shipped defaults — the sweep must not leak tuning
         # state into anything run after main() in the same process
