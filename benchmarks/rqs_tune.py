@@ -104,7 +104,7 @@ def main():
                 return jnp.sum(y) + jnp.sum(ld)
             _, (gx, graw) = jax.value_and_grad(loss, argnums=(0, 1))(
                 x, raw_t)
-            return gx + graw[0]
+            return gx, graw[0]
 
         bench("pallas fwd+bwd (train path)", fwd_bwd, a.n, a.K,
               param_major=True)
