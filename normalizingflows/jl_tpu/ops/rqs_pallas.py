@@ -209,6 +209,132 @@ def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
     graw_ref[:] = graw
 
 
+def _fwd_kernel_e(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
+    """Elem-major variant: raw block (L, P≥3K−1) as the conditioner
+    NATIVELY emits it (row-major (batch, n_t, 3K−1) reshapes to (N, 3K−1)
+    for free); one in-VMEM transpose per tile replaces the (3K−1, N) XLA
+    transpose the param-major kernel forced the caller to materialize."""
+    raw_t = raw_ref[:].T[: 3 * K - 1]
+    y, ld = _tile_transform(x_ref[:], raw_t, B, K, inverse)
+    y_ref[:] = y
+    ld_ref[:] = ld
+
+
+def _bwd_kernel_e(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
+                  *, B, K, inverse):
+    P = graw_ref.shape[-1]
+
+    def fn(x, raw_t):
+        return _tile_transform(x, raw_t, B, K, inverse)
+
+    raw_t = raw_ref[:].T[: 3 * K - 1]
+    _, vjp = jax.vjp(fn, x_ref[:], raw_t)
+    gx, graw_t = vjp((gy_ref[:], gld_ref[:]))
+    gx_ref[:] = gx
+    if P > 3 * K - 1:  # padded param columns carry zero cotangent
+        graw_t = jnp.concatenate(
+            [graw_t, jnp.zeros((P - (3 * K - 1),) + graw_t.shape[1:],
+                               graw_t.dtype)], axis=0)
+    graw_ref[:] = graw_t.T
+
+
+def _call_fwd_e(x_flat, raw_e, B, K, inverse, interpret):
+    n = x_flat.shape[0]
+    L = LANES_FWD
+    n_pad = (-n) % L
+    xp = jnp.pad(x_flat, (0, n_pad))[None, :]
+    rp = jnp.pad(raw_e, ((0, n_pad), (0, 0)))
+    P = rp.shape[1]
+    grid = (xp.shape[1] // L,)
+    kern = functools.partial(_fwd_kernel_e, B=B, K=K, inverse=inverse)
+    y, ld = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
+            jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
+        ],
+        interpret=interpret,
+    )(xp, rp)
+    return y[0, :n], ld[0, :n]
+
+
+def _call_bwd_e(x_flat, raw_e, gy, gld, B, K, inverse, interpret):
+    n = x_flat.shape[0]
+    L = LANES_BWD
+    n_pad = (-n) % L
+    xp = jnp.pad(x_flat, (0, n_pad))[None, :]
+    rp = jnp.pad(raw_e, ((0, n_pad), (0, 0)))
+    P = rp.shape[1]
+    gyp = jnp.pad(gy, (0, n_pad))[None, :]
+    gldp = jnp.pad(gld, (0, n_pad))[None, :]
+    grid = (xp.shape[1] // L,)
+    kern = functools.partial(_bwd_kernel_e, B=B, K=K, inverse=inverse)
+    gx, graw = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xp.shape, x_flat.dtype),
+            jax.ShapeDtypeStruct(rp.shape, raw_e.dtype),
+        ],
+        interpret=interpret,
+    )(xp, rp, gyp, gldp)
+    return gx[0, :n], graw[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def rqs_fused_e(x_flat, raw_e, B, K, inverse=False, interpret=False):
+    """Fused RQS on ELEM-MAJOR inputs: ``x_flat`` (N,), ``raw_e``
+    (N, P) with the 3K−1 raw params in the leading columns (P ≥ 3K−1 may
+    be padded; pad columns are ignored and get zero cotangent). This is
+    the conditioner's native layout — no transpose materializes anywhere
+    in the flow path (the per-tile transpose runs in VMEM)."""
+    return _call_fwd_e(x_flat, raw_e, B, K, inverse, interpret)
+
+
+def _rqs_fused_e_fwd(x_flat, raw_e, B, K, inverse, interpret):
+    out = rqs_fused_e(x_flat, raw_e, B, K, inverse, interpret)
+    return out, (x_flat, raw_e)
+
+
+def _rqs_fused_e_bwd(B, K, inverse, interpret, res, g):
+    x_flat, raw_e = res
+    gy, gld = g
+    gx, graw = _call_bwd_e(x_flat, raw_e, gy, gld, B, K, inverse, interpret)
+    return gx, graw
+
+
+rqs_fused_e.defvjp(_rqs_fused_e_fwd, _rqs_fused_e_bwd)
+
+
 def _to_rows(x_flat, raw_t, L):
     """Pad N to a multiple of L: x (1, Np), raw_t (3K−1, Np)."""
     n = x_flat.shape[0]
@@ -355,6 +481,19 @@ def _rqs_fused_t_bwd(B, inverse, interpret, res, g):
 rqs_fused_t.defvjp(_rqs_fused_t_fwd, _rqs_fused_t_bwd)
 
 
+# Flow-path layout switch: True → the elem-major kernel (in-VMEM per-tile
+# transpose; the conditioner's (..., 3K−1) output feeds the kernel with NO
+# XLA transpose materializing). MEASURED NET LOSS on v5e (2026-08-21):
+# the NSF wide train step ran 42.5 vs 60.3 steps/s — the XLA-side
+# transposes around the param-major kernel are cheaper than moving the
+# transpose into every tile (Mosaic's (L, 3K−1)→(3K−1, L) in-register
+# transpose costs ~6% fwd / ~24% bwd standalone, and the hypothesized
+# transpose savings did not materialize: XLA fuses or pipelines them
+# well). Default stays False (param-major); the variant is kept
+# correctness-pinned (bitwise-identical outputs) for future toolchains.
+ELEM_MAJOR = False
+
+
 def rqs_fused(
     x: jax.Array,
     raw: jax.Array,
@@ -367,9 +506,15 @@ def rqs_fused(
     equivalent of `rqs_params_from_raw` + `rqs_forward`/`rqs_inverse`."""
     batch_shape = x.shape
     x_flat = x.reshape(-1)
-    raw_t = raw.reshape(-1, raw.shape[-1]).T
-    y, ld = rqs_fused_t(x_flat, raw_t, float(B), bool(inverse),
-                        bool(interpret))
+    K = (raw.shape[-1] + 1) // 3
+    if ELEM_MAJOR:
+        raw_e = raw.reshape(-1, raw.shape[-1])  # contiguous — free
+        y, ld = rqs_fused_e(x_flat, raw_e, float(B), K, bool(inverse),
+                            bool(interpret))
+    else:
+        raw_t = raw.reshape(-1, raw.shape[-1]).T
+        y, ld = rqs_fused_t(x_flat, raw_t, float(B), bool(inverse),
+                            bool(interpret))
     return y.reshape(batch_shape), ld.reshape(batch_shape)
 
 

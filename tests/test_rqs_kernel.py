@@ -112,3 +112,43 @@ def test_multi_dim_batch_shape():
     y_f, ld_f = kern.rqs_fused(x3.ravel(), raw3.reshape(-1, 3 * K - 1), B,
                                interpret=True)
     np.testing.assert_allclose(y.ravel(), y_f, rtol=1e-6)
+
+
+def test_elem_major_variant_matches_param_major():
+    """`rqs_fused_e` (elem-major input, in-kernel transpose — kept as a
+    measured-negative archive path, see ops/rqs_pallas.py::ELEM_MAJOR)
+    must stay BITWISE identical to the shipping param-major kernel,
+    including padded param columns and the custom VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from normalizingflows.jl_tpu.ops import rqs_pallas
+
+    K, B, n = 10, 30.0, 4096
+    kx, kr, kg = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.uniform(kx, (n,), jnp.float32, -1.2 * B, 1.2 * B)
+    raw = jax.random.normal(kr, (n, 3 * K - 1), jnp.float32)
+
+    y1, ld1 = rqs_pallas.rqs_fused_e(x, raw, B, K, False, True)
+    y2, ld2 = rqs_pallas.rqs_fused_t(x, raw.T, B, False, True)
+    assert jnp.all(y1 == y2) and jnp.all(ld1 == ld2)
+
+    # padded columns are ignored
+    rawp = jnp.pad(raw, ((0, 0), (0, 3)))
+    y3, _ = rqs_pallas.rqs_fused_e(x, rawp, B, K, False, True)
+    assert jnp.all(y3 == y2)
+
+    gy = jax.random.normal(kg, (n,), jnp.float32)
+
+    def le(x, raw):
+        y, ld = rqs_pallas.rqs_fused_e(x, raw, B, K, False, True)
+        return jnp.sum(y * gy) + jnp.sum(ld)
+
+    def lt(x, raw_t):
+        y, ld = rqs_pallas.rqs_fused_t(x, raw_t, B, False, True)
+        return jnp.sum(y * gy) + jnp.sum(ld)
+
+    g1 = jax.grad(le, argnums=(0, 1))(x, raw)
+    g2 = jax.grad(lt, argnums=(0, 1))(x, raw.T)
+    assert jnp.all(g1[0] == g2[0])
+    assert jnp.all(g1[1] == g2[1].T)
