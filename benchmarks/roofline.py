@@ -331,7 +331,8 @@ def write_md(rows):
                 f"{r.get('bytes_per_elem', r.get('bytes_per_pass'))} B, "
                 f"{r.get('flops_per_elem', r.get('flops_per_pass'))} flop")
         ach = (f"{r['achieved_TFLOPs']} TFLOP/s" if "achieved_TFLOPs" in r
-               else f"{r['achieved_GBps']} GB/s")
+               else f"{r['achieved_GBps']} GB/s" if "achieved_GBps" in r
+               else f"{r['spline_Melems_per_s']} Melem/s")
         pct = r.get("pct_of_roofline_MFU", r.get("pct_of_roofline", "—"))
         lines.append(
             f"| {r['measurement']} | {r['config']} | {rate} | {cost} | "
