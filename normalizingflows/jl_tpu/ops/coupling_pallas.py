@@ -1,4 +1,11 @@
-"""Fused full-flow RealNVP Pallas kernel.
+"""Fused full-flow RealNVP Pallas kernel — RETIRED (archive path).
+
+STATUS (round 4): measured NET LOSS vs XLA on every configuration,
+including the bf16 rematch (2277 vs 7605 steps/s on the wide train row —
+benchmarks/KERNELS.md "Round-4 bf16 rematch → RETIRED"). Kept
+correctness-pinned (tests/test_coupling_kernel.py) as the documented
+counterfactual; `realnvp(fused=False)` is the default everywhere and no
+production path constructs this kernel.
 
 One `pallas_call` applies an ENTIRE stack of affine-coupling blocks —
 partition, both conditioner MLPs, exp-scale-shift, log-det row-reduction,

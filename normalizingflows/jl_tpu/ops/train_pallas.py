@@ -1,4 +1,9 @@
-"""Whole-training-run Pallas kernel for RealNVP ELBO training.
+"""RETIRED (archive path): measured ~180x slower than the
+jitted lax.scan (benchmarks/KERNELS.md); kept correctness-pinned
+(tests/test_train_kernel.py), gated off by the missing .fused_train_ok
+sentinel.
+
+Whole-training-run Pallas kernel for RealNVP ELBO training.
 
 ONE `pallas_call` executes the ENTIRE Adam training scan on-chip: the grid
 iterates over optimization steps (TPU grid steps run sequentially, so
