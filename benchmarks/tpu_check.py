@@ -185,6 +185,39 @@ def nsf_pallas_flow_matches_oracle_backend():
 
 
 @check
+def glow_invertible_linear_roundtrip():
+    """Compiled glow fwd/inv round-trip + CPU parity (ADVICE r4: the PLU
+    permutation is applied as a matmul; without Precision.HIGHEST the MXU
+    rounds the one-hot pick like bf16 — invisible to the CPU-pinned
+    pytest suite, so this lane asserts it on the chip)."""
+    flow = jax.jit(lambda k: nf.glow(k, 8, (16, 16), nlayers=3))(
+        jax.random.key(8))
+    x = jax.random.normal(jax.random.key(9), (256, 8))
+
+    with jax.default_device(_tpu()):
+        y, ld = jax.jit(flow.bijector.forward_and_log_det)(x)
+        x2, ld2 = jax.jit(flow.bijector.inverse_and_log_det)(y)
+        y, ld = np.asarray(y), np.asarray(ld)
+        x2, ld2 = np.asarray(x2), np.asarray(ld2)
+    scale = max(float(np.max(np.abs(x))), 1.0)
+    assert np.max(np.abs(x2 - np.asarray(x))) <= 1e-4 * scale, \
+        np.max(np.abs(x2 - np.asarray(x)))
+    ld_scale = max(float(np.max(np.abs(ld))), 1.0)
+    assert np.max(np.abs(ld + ld2)) <= 1e-4 * ld_scale, \
+        np.max(np.abs(ld + ld2))
+
+    with jax.default_device(_cpu()):
+        y_ref, _ = jax.jit(flow.bijector.forward_and_log_det)(
+            jax.device_put(x, _cpu()))
+        y_ref = np.asarray(y_ref)
+    # HIGHEST-precision P pick keeps the cross-platform drift in the same
+    # class as the coupling stack's (exp/tanh ulp differences amplified
+    # through 3 blocks); without it the one-hot matmul alone contributes
+    # bf16-level (~1e-2·|x|) error
+    assert np.max(np.abs(y - y_ref)) <= 1e-2, np.max(np.abs(y - y_ref))
+
+
+@check
 def train_trajectory_tpu_vs_cpu():
     """200 compiled ELBO train steps on the chip: finite, improving, and
     final loss within tolerance of the IDENTICAL program on CPU (catches

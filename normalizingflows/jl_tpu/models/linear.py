@@ -133,8 +133,17 @@ class InvertibleLinear(Bijector):
     def forward_and_log_det(self, x):
         L, U = self._plu()
         # y = x Wᵀ = x Uᵀ Lᵀ Pᵀ; P is a (d×d) matmul — MXU-native and
-        # scan-stackable (a static gather would pin P per call site)
-        y = ((x @ U.T) @ L.T) @ self.pmat.T
+        # scan-stackable (a static gather would pin P per call site).
+        # ALL three matmuls run at HIGHEST precision: the default MXU
+        # precision rounds f32 operands like bf16 (same trap as
+        # ops/rqs.py's cumsum), which (a) perturbs the one-hot P pick and
+        # (b) breaks the f32 round-trip against the inverse's triangular
+        # solves (measured 1.7e-2 relative on TPU — benchmarks/tpu_check
+        # glow lane). d×d at glow sizes: cost is negligible.
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.matmul(x, U.T, precision=hi)
+        y = jnp.matmul(y, L.T, precision=hi)
+        y = jnp.matmul(y, self.pmat.T, precision=hi)
         ld = jnp.sum(self.log_s)
         return y, jnp.broadcast_to(ld, x.shape[:-1]).astype(x.dtype)
 
@@ -142,13 +151,18 @@ class InvertibleLinear(Bijector):
         from jax.scipy.linalg import solve_triangular
 
         L, U = self._plu()
-        z = y @ self.pmat  # row-convention Pᵀ y
-        # solve for the whole batch in one (d, n) triangular solve
+        # row-convention Pᵀ y; HIGHEST so the one-hot pick is exact (see fwd)
+        z = jnp.matmul(y, self.pmat,
+                       precision=jax.lax.Precision.HIGHEST)
+        # solve for the whole batch in one (d, n) triangular solve, under
+        # a HIGHEST-precision scope (the blocked solve's internal matmuls
+        # otherwise get default MXU rounding — see forward)
         d = z.shape[-1]
         batch_shape = z.shape[:-1]
         cols = jnp.moveaxis(z.reshape((-1, d)), -1, 0)  # (d, n)
-        cols = solve_triangular(L, cols, lower=True)
-        cols = solve_triangular(U, cols, lower=False)
+        with jax.default_matmul_precision("highest"):
+            cols = solve_triangular(L, cols, lower=True)
+            cols = solve_triangular(U, cols, lower=False)
         x = jnp.moveaxis(cols, 0, -1).reshape(batch_shape + (d,))
         ld = -jnp.sum(self.log_s)
         return x, jnp.broadcast_to(ld, y.shape[:-1]).astype(y.dtype)

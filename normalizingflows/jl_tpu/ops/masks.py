@@ -28,7 +28,14 @@ def _as_strided(idx: tuple[int, ...], dim: int):
     if not idx:
         return None
     start = idx[0]
-    step = idx[1] - idx[0] if len(idx) > 1 else 1
+    if len(idx) == 1:
+        # any step > dim-1-start reproduces the single element; prefer 2 so
+        # the d=2 alternating masks keep the riffle-combine fast path
+        if start >= dim:
+            return None
+        step = 2 if start + 2 >= dim else dim - start
+        return start, step
+    step = idx[1] - idx[0]
     if step > 0 and idx == tuple(range(start, dim, step)):
         return start, step
     return None

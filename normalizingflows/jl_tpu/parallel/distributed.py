@@ -99,13 +99,15 @@ def _slurm_first_host(nodelist: str) -> str:
             break
         first.append(ch)
     s = "".join(first)
-    if "[" not in s:
-        return s
-    prefix, rest = s.split("[", 1)
-    body, _, suffix = rest.partition("]")
-    # first element of the range list: "001-004,007" → "001"
-    first_item = body.split(",")[0].split("-")[0]
-    return prefix + first_item + suffix
+    # expand EVERY bracket group ("rack[1-2]node[01-08]" is a valid
+    # scontrol shape): loop until no '[' remains
+    while "[" in s:
+        prefix, rest = s.split("[", 1)
+        body, _, suffix = rest.partition("]")
+        # first element of the range list: "001-004,007" → "001"
+        first_item = body.split(",")[0].split("-")[0]
+        s = prefix + first_item + suffix
+    return s
 
 
 def initialize(

@@ -121,3 +121,26 @@ def test_partition_mask_fast_paths_match_gather():
     a = jnp.asarray([[1.0, 3.0, 5.0]])
     b = jnp.asarray([[2.0, 4.0]])
     assert jnp.all(interleave(a, b, 5) == jnp.asarray([[1., 2., 3., 4., 5.]]))
+
+
+def test_partition_mask_single_element_strided():
+    """Single-element index sets must hit the strided fast path (ADVICE
+    r4: the d=2 demo config's alternating masks have len-1 idx_a and were
+    silently falling back to gather/scatter). The d=2 pair must also keep
+    the riffle-combine path (step 2 on both halves)."""
+    from normalizingflows.jl_tpu.ops import masks as m
+
+    assert m._as_strided((0,), 2) == (0, 2)
+    assert m._as_strided((1,), 2) == (1, 2)
+    assert m._as_strided((2,), 3) == (2, 2)
+    assert m._as_strided((0,), 5) == (0, 5)
+    assert m._as_strided((0,), 1) == (0, 2)
+
+    # semantics unchanged: partition/combine round-trip for d=2 both
+    # parities (combine takes the riffle branch — both halves step 2)
+    x = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    for parity in (0, 1):
+        pm = m.PartitionMask.alternating(2, parity)
+        xa, xb, xc = pm.partition(x)
+        assert jnp.all(xa == x[..., parity:parity + 1])
+        assert jnp.all(pm.combine(xa, xb, xc) == x)

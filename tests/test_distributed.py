@@ -50,6 +50,10 @@ def test_slurm_first_host_shapes():
     assert f("tpu-[3-4]srv,other[1-2]") == "tpu-3srv"
     assert f("single") == "single"
     assert f("n[10]") == "n10"
+    # multiple bracket groups in ONE hostname (valid scontrol shape;
+    # ADVICE r4): every group must expand, not just the first
+    assert f("rack[1-2]node[01-08]") == "rack1node01"
+    assert f("a[1]b[2]c[3]") == "a1b2c3"
 
 
 def test_detect_slurm_falls_back_to_nodelist_var():
@@ -123,6 +127,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_initialize_and_step():
     """2 processes × 4 virtual CPU devices: `initialize()` via the NF_* env
     path, global 8-device mesh, one sharded ELBO train step (cross-process
