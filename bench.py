@@ -64,7 +64,7 @@ def build_nsf():
 
 def _banana_logp_static(target):
     """Banana log-density with Python-scalar closure constants (in-kernel
-    target contract of ops/train_pallas.py)."""
+    target contract of experimental/train_pallas.py)."""
     import math
     b, var = float(target.b), float(target.var)
 
@@ -79,9 +79,9 @@ def _banana_logp_static(target):
 
 def make_fused_train(flow, target, n_samples):
     """Whole-run Pallas kernel trainer: ONE kernel executes the entire Adam
-    scan on-chip (ops/train_pallas.py); same math as the optax path
+    scan on-chip (experimental/train_pallas.py); same math as the optax path
     (tests/test_train_kernel.py)."""
-    from normalizingflows.jl_tpu.ops.train_pallas import (
+    from normalizingflows.jl_tpu.experimental.train_pallas import (
         adam_train_realnvp_fused,
     )
 

@@ -5,7 +5,7 @@ full-f32 matmuls while the XLA module path got the bf16 mixed-precision
 treatment — so the KERNELS.md comparison was f32-kernel vs bf16-XLA.
 This probe re-runs the wide training row with BOTH paths in bf16
 (`compute_dtype=jnp.bfloat16` now threads into the kernel's conditioner
-matmuls, `ops/coupling_pallas.py::_dot`), which is the kernel's last
+matmuls, `experimental/coupling_pallas.py::_dot`), which is the kernel's last
 chance: if it still loses, it gets retired to an archive note.
 
 Run: PYTHONPATH=.:/root/.axon_site python benchmarks/fused_bf16_probe.py

@@ -11,7 +11,7 @@ LOSE; the numbers recorded in KERNELS.md are from the TPU):
    rational-quadratic + logdet kernel vs the `ops/rqs.py` jnp oracle,
    on the reference NSF demo config (10 layers, K=10, B=30, [32,32],
    64 samples/iter — `example/demo_neural_spline_flow.jl:20-53`).
-2. Whole-stack RealNVP (`ops/coupling_pallas.py`): one fused kernel for
+2. Whole-stack RealNVP (`experimental/coupling_pallas.py`): one fused kernel for
    all coupling blocks vs the unfused per-layer Chain, at the reference
    demo size (d=2, [16,16]x3 — latency-bound) and at a wide size
    (d=128, [128,128]x6 — compute-bound) to expose the break-even.

@@ -3,7 +3,7 @@
 Runs the same equivalence check as tests/test_train_kernel.py but COMPILED
 (not interpret mode) on the live TPU backend: same presampled base draws
 through (a) the unfused optax scan and (b) the single-`pallas_call`
-whole-run Adam kernel (`ops/train_pallas.py`), asserting the loss
+whole-run Adam kernel (`experimental/train_pallas.py`), asserting the loss
 trajectories and trained weights agree to f32 tolerance. On success it
 writes the `benchmarks/.fused_train_ok` sentinel that gates the fused path
 in bench.py (an unvalidated Mosaic compile must never hang the driver's
@@ -29,7 +29,7 @@ import optax
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import normalizingflows as nf  # noqa: E402
-from normalizingflows.jl_tpu.ops.train_pallas import adam_train_realnvp_fused
+from normalizingflows.jl_tpu.experimental.train_pallas import adam_train_realnvp_fused
 from normalizingflows.jl_tpu.utils.pytree import apply_mask, trainable_mask
 
 DIM, HDIMS, NLAYERS, BATCH, LR = 2, (16, 16), 3, 16, 5e-4

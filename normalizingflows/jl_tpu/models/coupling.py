@@ -22,7 +22,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops import coupling_pallas
 from ..ops.masks import PartitionMask, interleave
 from ..utils.pytree import module, static_field
 from .bijector import Bijector, Chain
@@ -30,8 +29,7 @@ from .distributions import DiagNormal, Distribution, TransformedDistribution
 from .flows import create_flow
 from .nets import MLP, fnn
 
-__all__ = ["AffineCoupling", "CouplingPairStack", "FusedRealNVP",
-           "RealNVP_layer", "realnvp"]
+__all__ = ["AffineCoupling", "CouplingPairStack", "RealNVP_layer", "realnvp"]
 
 
 @module
@@ -94,67 +92,6 @@ def RealNVP_layer(
     c2 = AffineCoupling.make(k2, dim, hdims, range(1, dim, 2), dtype,
                              compute_dtype)
     return [c1, c2]
-
-
-@module
-class FusedRealNVP(Bijector):
-    """Whole-stack RealNVP applied by the fused Pallas kernel
-    (`ops/coupling_pallas.py`): all blocks execute in one kernel with
-    activations VMEM-resident. Mathematically identical to
-    `Repeated(Chain([AffineCoupling_even, AffineCoupling_odd]))` — the
-    equivalence is pinned in tests/test_coupling_kernel.py."""
-
-    groups: dict  # {'even'|'odd': {'s'|'t': ((W, b), ...)}} stacked arrays
-    idx_even: tuple = static_field()
-    idx_odd: tuple = static_field()
-    interpret: bool = static_field(default=False)
-    # bf16-operand/f32-accum policy for the in-kernel conditioner matmuls
-    # (fwd AND hand-written backward); selection matmuls stay exact
-    compute_dtype: object = static_field(default=None)
-
-    @staticmethod
-    def from_blocks(blocks, interpret: bool = False,
-                    compute_dtype=None) -> "FusedRealNVP":
-        """Build from a list of `[c_even, c_odd]` AffineCoupling pairs (as
-        produced by `RealNVP_layer`), stacking weights across blocks."""
-
-        def mlp_params(mlp: MLP):
-            return tuple((l.W, l.b) for l in mlp.layers)
-
-        def stack_group(pick):
-            per_block = [pick(b) for b in blocks]
-            return jax.tree_util.tree_map(
-                lambda *leaves: jnp.stack(leaves), *per_block
-            )
-
-        groups = {
-            "even": {
-                "s": stack_group(lambda b: mlp_params(b[0].s)),
-                "t": stack_group(lambda b: mlp_params(b[0].t)),
-            },
-            "odd": {
-                "s": stack_group(lambda b: mlp_params(b[1].s)),
-                "t": stack_group(lambda b: mlp_params(b[1].t)),
-            },
-        }
-        return FusedRealNVP(
-            groups, blocks[0][0].mask.idx_a, blocks[0][1].mask.idx_a,
-            interpret, compute_dtype,
-        )
-
-    def forward_and_log_det(self, x):
-        return coupling_pallas.coupling_stack_fused(
-            x, self.groups, self.idx_even, self.idx_odd,
-            inverse=False, interpret=self.interpret,
-            compute_dtype=self.compute_dtype,
-        )
-
-    def inverse_and_log_det(self, y):
-        return coupling_pallas.coupling_stack_fused(
-            y, self.groups, self.idx_even, self.idx_odd,
-            inverse=True, interpret=self.interpret,
-            compute_dtype=self.compute_dtype,
-        )
 
 
 @module
@@ -267,7 +204,8 @@ def realnvp(
     compile time is depth-independent; ``scan=False`` lays them out as a
     flat `Chain` (same math, per-layer call sites). ``fused=True`` runs the
     whole stack through the single fused Pallas kernel instead
-    (`FusedRealNVP`; TPU, or anywhere with ``interpret=True``). Measured
+    (`experimental.FusedRealNVP`, imported lazily — the retired-kernel
+    archive is NOT loaded on plain `import normalizingflows`). Measured
     on a real v5e (benchmarks/kernels.py, recorded in
     benchmarks/KERNELS.md): the fused kernel wins the forward/sampling
     path at small dims (2.1× at d=2/L=3, batch 4096) where per-layer HBM
@@ -283,6 +221,8 @@ def realnvp(
         for k in jax.random.split(key, nlayers)
     ]
     if fused:
+        from ..experimental import FusedRealNVP
+
         return create_flow(
             [FusedRealNVP.from_blocks(pairs, interpret=interpret,
                                       compute_dtype=compute_dtype)], q0

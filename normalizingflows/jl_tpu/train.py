@@ -36,7 +36,7 @@ from .utils.pytree import apply_mask, global_norm, trainable_mask
 
 __all__ = [
     "train_flow", "train_flow_mle", "train_flow_annealed",
-    "train_realnvp_fused", "optimize", "TrainResult", "TrainState",
+    "optimize", "TrainResult", "TrainState",
 ]
 
 
@@ -366,68 +366,6 @@ def optimize(
     )
 
 
-def train_realnvp_fused(
-    key: jax.Array,
-    flow: TransformedDistribution,
-    logp: Callable[[jax.Array], jax.Array],
-    n_samples: int,
-    max_iters: int = 1_000,
-    learning_rate: float = 5e-4,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
-    interpret: bool = False,
-) -> TrainResult:
-    """ELBO-train a fused RealNVP flow with the WHOLE-RUN Pallas kernel.
-
-    One kernel launch per 512-step chunk executes the Adam scan on-chip
-    (`ops/train_pallas.py`): weights and Adam moments stay VMEM-resident,
-    each step's presampled base draws stream in, per-step losses stream
-    out. Same math as ``train_flow(key, elbo_batch, flow, logp,
-    n_samples)`` with ``optax.adam(learning_rate)`` — pinned in
-    tests/test_train_kernel.py.
-
-    NOTE — measured to be ~180× SLOWER than `train_flow` on real TPU
-    (benchmarks/KERNELS.md "Whole-run train kernel"): `lax.scan` already
-    compiles the whole loop into one executable, so there is no per-step
-    dispatch for the kernel to eliminate, and the Mosaic grid serializes
-    on SMEM scalar stores and tiny non-MXU-shaped matmuls. Prefer
-    `train_flow`; this entry point exists as a correctness-tested
-    experiment in on-chip full-loop fusion.
-
-    Requirements: ``flow`` built with ``realnvp(..., fused=True)``,
-    a `DiagNormal` base, and ``logp`` jnp-traceable with Python-scalar
-    closure constants (Mosaic cannot lower captured constant arrays;
-    shape-() array fields of the built-in targets are fine).
-    """
-    from .models.coupling import FusedRealNVP
-    from .models.distributions import DiagNormal
-    from .ops.train_pallas import adam_train_realnvp_fused
-
-    bijectors = getattr(flow.bijector, "bijectors", (flow.bijector,))
-    if len(bijectors) != 1 or not isinstance(bijectors[0], FusedRealNVP):
-        raise ValueError(
-            "train_realnvp_fused requires a flow built with "
-            "realnvp(..., fused=True); got " + type(flow.bijector).__name__
-        )
-    if not isinstance(flow.base, DiagNormal):
-        raise ValueError("train_realnvp_fused requires a DiagNormal base")
-    fb = bijectors[0]
-
-    xs = flow.base.sample(key, (max_iters, n_samples))
-    groups, losses = adam_train_realnvp_fused(
-        xs, fb.groups, fb.idx_even, fb.idx_odd, logp,
-        flow.base.loc, flow.base.scale, learning_rate,
-        b1=b1, b2=b2, eps=eps, interpret=interpret or fb.interpret,
-    )
-    fb_new = FusedRealNVP(groups, fb.idx_even, fb.idx_odd, fb.interpret)
-    if hasattr(flow.bijector, "bijectors"):  # Chain wrapper from create_flow
-        bij_new = type(flow.bijector)((fb_new,))
-    else:
-        bij_new = fb_new
-    flow_new = TransformedDistribution(flow.base, bij_new)
-    stats = {
-        "iteration": np.arange(1, max_iters + 1),
-        "loss": np.asarray(losses),
-    }
-    return TrainResult(flow_new, stats, TrainState(flow_new, None, max_iters))
+# NOTE: `train_realnvp_fused` (the retired whole-run Pallas trainer) moved
+# to `experimental.fused_flow` (VERDICT r4 item 7); `normalizingflows.
+# train_realnvp_fused` still resolves via the package-level lazy __getattr__.

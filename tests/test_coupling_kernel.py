@@ -12,6 +12,8 @@ import pytest
 
 import normalizingflows as nf
 
+pytestmark = pytest.mark.archive  # retired-kernel archive (VERDICT r4 item 7)
+
 DIM = 4
 HDIMS = (16, 16)
 NLAYERS = 3

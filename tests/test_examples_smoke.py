@@ -35,6 +35,7 @@ def _load(name):
     return mod
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", DEMOS)
 def test_demo_smoke(name):
     mod = _load(name)
