@@ -39,10 +39,11 @@ def make_target():
 
 
 def run(name, iters, lr=1e-4, identity_init=False, schedule=None,
-        clip=None, n_per_iter=64, seed=0):
+        clip=None, n_per_iter=64, seed=0, affine_wrap=False):
     t = make_target()
     flow = jax.jit(
-        lambda k: nf.nsf(k, 2, identity_init=identity_init)
+        lambda k: nf.nsf(k, 2, identity_init=identity_init,
+                         affine_wrap=affine_wrap)
     )(jax.random.key(seed))
     if schedule == "cosine":
         sched = optax.warmup_cosine_decay_schedule(
@@ -88,6 +89,15 @@ VARIANTS = {
     # everything
     "ident_cos_clip": dict(lr=5e-4, identity_init=True, schedule="cosine",
                            clip=1.0),
+    # + trainable affine envelope (nsf(..., affine_wrap=True)): LIFTS the
+    # log(Z_box/2) = -2.600 architectural ceiling entirely — the outer
+    # ActNorm learns to map the [-B,B] box onto the target support
+    # (VERDICT r4 item 1; done bar: final ELBO <= -1.0)
+    "envelope": dict(lr=5e-4, identity_init=True, schedule="cosine",
+                     affine_wrap=True),
+    # envelope at the unmodified reference lr (ablation: is the win the
+    # envelope or the schedule?)
+    "envelope_ref_lr": dict(lr=1e-4, identity_init=True, affine_wrap=True),
 }
 
 

@@ -222,18 +222,23 @@ def realnvp(iters):
 def nsf(iters):
     """`example/demo_neural_spline_flow.jl:20-53`: hard Banana(2,1,100),
     f32, defaults (10 layers, [32,32], K=10, B=30), 64 samples/iter,
-    Adam(1e-4), elbo_batch. identity_init starts the flow as the exact
-    identity (Durkan et al. reference-impl initialization) — measured
-    ELBO −2.648 vs −2.735 from random init at 50k iters, both near the
-    one-arm architectural bound −2.600 (see benchmarks/nsf_diagnose.py;
-    a warmup-cosine schedule saturates the bound at −2.605)."""
+    elbo_batch — PLUS the trainable affine envelope
+    (``affine_wrap=True``) that lifts the bare architecture's box
+    ceiling (the RQS spline is the identity outside [−B,B], so with the
+    reference defaults every sample lies in [−30,30]² and the best
+    achievable ELBO is log(Z_box/2) = −2.600 — benchmarks/NSF_DIAGNOSE.md
+    derives the bound and records the envelope beating it at −0.219,
+    past RealNVP's −0.565). identity_init + warmup-cosine(peak 5e-4):
+    the measured-best recipe from nsf_diagnose.py."""
     t = nf.Banana(2, 1.0, 100.0)
     flow = jax.jit(
-        lambda k: nf.nsf(k, 2, identity_init=True)
+        lambda k: nf.nsf(k, 2, identity_init=True, affine_wrap=True)
     )(jax.random.key(0))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 5e-4, warmup_steps=500, decay_steps=iters, end_value=1e-5)
     return _run("nsf_banana_hard", flow, t.log_prob,
                 lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 64,
-                optax.adam(1e-4), iters, max(iters // 10, 1), eval_reps=4)
+                optax.adam(sched), iters, max(iters // 10, 1), eval_reps=4)
 
 
 def hamiltonian(iters):

@@ -257,6 +257,7 @@ def nsf(
     identity_init: bool = False,
     remat: bool = False,
     compute_dtype=None,
+    affine_wrap: bool = False,
 ) -> TransformedDistribution:
     """Neural spline flow (reference `neuralspline.jl:218-234` defaults).
 
@@ -266,7 +267,22 @@ def nsf(
     mode so it works off-TPU (numerics cross-checks on CPU).
     ``identity_init=True`` zero-initializes every coupling's final conditioner
     layer so the whole flow starts as the exact identity map — the stable
-    initialization of the Durkan et al. reference implementation."""
+    initialization of the Durkan et al. reference implementation.
+
+    ``affine_wrap=True`` composes the spline stack with a trainable
+    per-dimension affine envelope (an identity-initialized `ActNorm` on
+    each side). This LIFTS the architecture's box ceiling: an RQS spline
+    maps [−B, B] onto itself and is the identity outside, so a bare NSF's
+    samples are confined to the base distribution's support ∪ [−B, B]^d —
+    on the hard-banana demo target (mode at (0, 100), B=30) the best
+    achievable ELBO is log Z_box/2 = −2.600 nats no matter how long it
+    trains (benchmarks/NSF_DIAGNOSE.md derives the bound). The OUTER
+    ActNorm learns to map the box onto the target's support; the INNER one
+    learns to spread the base draws (σ=1 ≪ B=30: without it, all mass
+    lands in a fraction of one knot bin, wasting the spline's resolution).
+    The reference hard-codes the box with no escape
+    (`/root/reference/src/flows/neuralspline.jl:218-234`) — this is a
+    capability the reference architecture cannot express."""
     if isinstance(q0, int):
         q0 = DiagNormal.standard(q0, dtype)
     dim = q0.event_dim
@@ -278,6 +294,12 @@ def nsf(
     if scan:
         # split-carry scan (see SplinePairStack): per-block
         # partition/combine elided, one RQS call site at any depth
-        return create_flow([SplinePairStack.from_pairs(pairs, remat=remat)],
-                           q0)
-    return create_flow([Chain(p) for p in pairs], q0)
+        layers = [SplinePairStack.from_pairs(pairs, remat=remat)]
+    else:
+        layers = [Chain(p) for p in pairs]
+    if affine_wrap:
+        from .linear import ActNorm
+
+        layers = ([ActNorm.identity(dim, dtype)] + layers
+                  + [ActNorm.identity(dim, dtype)])
+    return create_flow(layers, q0)

@@ -221,3 +221,40 @@ def test_pair_stack_matches_flat_chain(name, key):
         flat)
     n1, n2 = float(global_norm(g1)), float(global_norm(g2))
     assert abs(n1 - n2) / max(n2, 1e-9) < 1e-4, (n1, n2)
+
+
+def test_nsf_affine_wrap_invariants(key):
+    """`nsf(..., affine_wrap=True)` (VERDICT r4 item 1: the trainable
+    envelope that lifts the [-B,B] box ceiling): starts as the exact
+    identity under identity_init, round-trips, and the envelope ActNorms
+    actually receive gradient signal."""
+    flow = nf.nsf(key, DIM, (16, 16), K=8, B=5.0, nlayers=2,
+                  identity_init=True, affine_wrap=True)
+
+    # exact identity map at init (identity splines + identity ActNorms)
+    x = jax.random.normal(jax.random.key(1), (32, DIM))
+    y, ld = flow.bijector.forward_and_log_det(x)
+    assert float(jnp.max(jnp.abs(y - x))) < 1e-6
+    assert float(jnp.max(jnp.abs(ld))) < 1e-6
+
+    # round-trip after perturbing the envelope away from identity
+    from normalizingflows.jl_tpu.models.linear import ActNorm
+
+    bijs = list(flow.bijector.bijectors)
+    assert isinstance(bijs[0], ActNorm) and isinstance(bijs[-1], ActNorm)
+    bijs[-1] = ActNorm(jnp.full((DIM,), 1.5), jnp.full((DIM,), 3.0))
+    warped = nf.create_flow(bijs, flow.base)
+    y, ld = warped.bijector.forward_and_log_det(x)
+    x2, ld2 = warped.bijector.inverse_and_log_det(y)
+    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld + ld2))) < 1e-4
+    # samples now escape the [-B,B] box the bare architecture is pinned to
+    s = warped.sample(jax.random.key(2), (256,))
+    assert float(jnp.max(jnp.abs(s))) > 5.0
+
+    # envelope params get gradient signal (they are trainable leaves)
+    target = nf.Banana(DIM, 1.0, 10.0)
+    g = jax.grad(lambda f: -nf.elbo_batch(jax.random.key(3), f,
+                                          target.log_prob, 32))(flow)
+    g_out = g.bijector.bijectors[-1]
+    assert float(global_norm(g_out)) > 0.0
