@@ -372,16 +372,17 @@ def report():
         "  ELBO ≈ −0.5 nats. The easy/radial workloads show tight moment",
         "  parity. This matches the reference's own objective/config",
         "  (`example/demo_RealNVP.jl:20-61`) — not an implementation gap.",
-        "- nsf_banana_hard has an ARCHITECTURAL ELBO ceiling: the RQS",
-        "  spline maps [−B,B]→[−B,B] (identity outside), so with the",
-        "  reference defaults (B=30, q0=N(0,I)) every flow sample lies in",
-        "  [−30,30]², while the target mode sits at (0,100). The best",
-        "  achievable ELBO is the target's log-mass in the box:",
-        "  log Z_box = −1.907 nats (both banana arms) / −2.600 (one arm —",
-        "  what mode-seeking reverse KL finds). See",
-        "  `benchmarks/nsf_diagnose.py` for the derivation and the",
-        "  controlled experiments; parity = reaching that bound, not",
-        "  RealNVP's unbounded-architecture ELBO.",
+        "- nsf_banana_hard: the BARE reference architecture has an ELBO",
+        "  ceiling — the RQS spline maps [−B,B]→[−B,B] (identity outside),",
+        "  so with the reference defaults (B=30, q0=N(0,I)) every sample",
+        "  lies in [−30,30]² while the target mode sits at (0,100); the",
+        "  best achievable ELBO is log(Z_box/2) = −2.600 nats, which",
+        "  round 4 saturated (−2.605). The row above trains",
+        "  `nsf(..., affine_wrap=True)` — a trainable affine envelope the",
+        "  reference architecture cannot express — which LIFTS the",
+        "  ceiling: −0.22 beats both the old bound and RealNVP's −0.565",
+        "  on the same target (derivation + controlled experiments:",
+        "  `benchmarks/NSF_DIAGNOSE.md`).",
         "- The Hamiltonian workload trains per-dim leapfrog step sizes on a",
         "  chaotic dynamic (reference `demo_hamiltonian_flow.jl:107`). On",
         "  the funnel target the ELBO ESTIMATOR itself is heavy-tailed: a",
