@@ -27,6 +27,16 @@ def _leaf_dict(tree: Any) -> dict:
     }
 
 
+def _replicated_sharding():
+    """Fully-replicated NamedSharding over every device of the pod (the
+    global form host-local replicated leaves take on a multi-host save)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    return NamedSharding(
+        Mesh(np.array(jax.devices()), ("_ckpt_all",)), PartitionSpec()
+    )
+
+
 def save_pytree(path: str, tree: Any, backend: str = "npz") -> None:
     """Save all array leaves of ``tree`` to ``path``.
 
@@ -38,9 +48,21 @@ def save_pytree(path: str, tree: Any, backend: str = "npz") -> None:
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
-        state = {
-            k: jax.numpy.asarray(v) for k, v in _leaf_dict(tree).items()
-        }
+        multi = jax.process_count() > 1
+        rep_sh = _replicated_sharding() if multi else None
+        state = {}
+        for k, v in _leaf_dict(tree).items():
+            if not isinstance(v, jax.Array):
+                v = jax.numpy.asarray(v)
+            if multi and v.is_fully_addressable:
+                # replicated host-local leaves must become GLOBAL
+                # fully-replicated arrays: orbax refuses to serialize
+                # host-local jax.Arrays on a pod (every process holds the
+                # same values; the converted array spans all devices)
+                host = np.asarray(v)
+                v = jax.make_array_from_callback(
+                    host.shape, rep_sh, lambda idx, h=host: h[idx])
+            state[k] = v
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), state, force=True)
         ckptr.wait_until_finished()
@@ -61,8 +83,34 @@ def load_pytree(path: str, template: Any, backend: str = "npz") -> Any:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        data = ckptr.restore(os.path.abspath(path))
-        leaves = [data[f"leaf_{i}"] for i in range(len(data))]
+        # Sharding-aware restore: build an abstract target from the
+        # template so each leaf is restored WITH the template's sharding
+        # (on a multi-host pod every process then reads only its own
+        # shards — restoring without a target would read sharding from
+        # the checkpoint file, which orbax documents as unsafe across
+        # topology changes). Host-local template leaves mirror the save
+        # path: on a pod they restore as global fully-replicated arrays
+        # and are lowered back to host-local values afterwards.
+        multi = jax.process_count() > 1
+        rep_sh = _replicated_sharding() if multi else None
+        abstract = {}
+        was_local = {}
+        for k, tl in _leaf_dict(template).items():
+            arr = tl if isinstance(tl, jax.Array) else jax.numpy.asarray(tl)
+            local = not isinstance(arr, jax.Array) or arr.is_fully_addressable
+            was_local[k] = local
+            abstract[k] = jax.ShapeDtypeStruct(
+                arr.shape, arr.dtype,
+                sharding=(rep_sh if (multi and local)
+                          else getattr(arr, "sharding", None)),
+            )
+        data = ckptr.restore(os.path.abspath(path), abstract)
+        leaves = []
+        for i in range(len(data)):
+            v = data[f"leaf_{i}"]
+            if multi and was_local[f"leaf_{i}"] and isinstance(v, jax.Array):
+                v = np.asarray(v.addressable_data(0))
+            leaves.append(v)
     elif backend == "npz":
         with np.load(path) as data:
             leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]

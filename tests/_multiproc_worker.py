@@ -13,6 +13,7 @@ import os
 import sys
 
 port, pid = sys.argv[1], sys.argv[2]
+ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
 # pure-CPU JAX with 4 local virtual devices; drop the TPU-tunnel env the
 # parent session may carry (sitecustomize only registers the axon PJRT
@@ -74,3 +75,53 @@ loss, gnorm, loss2 = float(loss), float(gnorm), float(loss2)
 
 distributed.barrier()
 print(f"RESULT {loss:.10f} {gnorm:.10f} {loss2:.10f}", flush=True)
+
+if ckpt_dir:
+    # Multi-host checkpoint exercise (VERDICT r4 item 6b): orbax-save a
+    # replicated flow + a GLOBAL mesh-sharded array (each process holds 4
+    # of its 8 shards), barrier, templated restore, and verify both kinds
+    # of state agree with what was saved — executing the "multi-host
+    # path" claim of utils/checkpoint.py rather than asserting it.
+    import numpy as np  # noqa: E402
+    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+    from normalizingflows.jl_tpu.utils.checkpoint import (  # noqa: E402
+        load_pytree,
+        save_pytree,
+    )
+
+    jnp = jax.numpy
+    sh = NamedSharding(mesh, P("batch"))
+    # globally-consistent values, distributed shard-wise: process-local
+    # host buffers feed make_array_from_callback so no single process
+    # ever holds the full array
+    full = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    data = jax.make_array_from_callback(
+        full.shape, sh, lambda idx: full[idx])
+    flow = jax.jit(lambda k: nf.realnvp(k, 2, (8, 8), nlayers=2))(
+        jax.random.key(0))
+
+    save_pytree(ckpt_dir, {"flow": flow, "data": data}, backend="orbax")
+    distributed.barrier()
+
+    template = {
+        "flow": jax.jit(lambda k: nf.realnvp(k, 2, (8, 8), nlayers=2))(
+            jax.random.key(42)),
+        "data": jax.make_array_from_callback(
+            full.shape, sh, lambda idx: np.zeros_like(full[idx])),
+    }
+    restored = load_pytree(ckpt_dir, template, backend="orbax")
+
+    # sharded leaf: every LOCAL shard must hold the saved global values
+    for shard in restored["data"].addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), full[shard.index])
+    assert restored["data"].sharding.is_equivalent_to(sh, data.ndim)
+    # replicated flow leaves: bitwise equal to the saved flow
+    checksum = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(restored["flow"]),
+                    jax.tree_util.tree_leaves(flow)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        checksum += float(np.sum(np.asarray(a)))
+    distributed.barrier()
+    print(f"CKPT {checksum:.10f}", flush=True)

@@ -168,3 +168,43 @@ def test_two_process_initialize_and_step():
         f"processes disagree on the replicated step: {results}")
     assert loss2_0 < loss0  # the step actually descended
     assert gnorm0 > 0.0
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint(tmp_path):
+    """2 processes × 4 virtual CPU devices orbax-save a replicated flow
+    plus a global mesh-sharded array, barrier, and restore through the
+    sharding-aware templated path — executing `utils/checkpoint.py`'s
+    multi-host claim (VERDICT r4 item 6b). Both processes must verify
+    their local shards and agree on the replicated checksum."""
+    worker = Path(__file__).parent / "_multiproc_worker.py"
+    port = _free_port()
+    ckpt = str(tmp_path / "mp_ckpt")
+    env = dict(os.environ)
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(i), ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process checkpoint worker timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    sums = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("CKPT ")]
+        assert lines, f"no CKPT line in worker output: {out[-500:]}"
+        sums.append(lines[0])
+    assert sums[0] == sums[1], sums
