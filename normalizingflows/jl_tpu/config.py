@@ -135,30 +135,71 @@ class TrainConfig:
         default_factory=OptimizerConfig)
     max_iters: int = 1000       # train_flow default (optimize's is 10_000)
     n_samples: int = 32         # MC samples per iteration
-    objective: str = "elbo_batch"  # 'elbo'|'elbo_batch'|'elbo_stl'|'elbo_iw'
+    # 'elbo'|'elbo_batch'|'elbo_stl'|'elbo_iw' (reverse KL), or 'mle'
+    # (forward KL from data via `train_flow_mle` — the dataloader path the
+    # reference leaves as a TODO, `src/objectives/loglikelihood.jl:35-43`)
+    objective: str = "elbo_batch"
     check_every: int = 100
     show_progress: bool = False
     train_base: bool = False    # the reference's `@leaf MvNormal` freezing
     unroll: int = 1
     seed: int = 0
+    # MLE-only knobs: dataset (path to a raw/npy file or in-memory array
+    # passed to run(data=...)) and minibatch size
+    data_path: str | None = None
+    batch_size: int = 128
 
-    def run(self, target_logp: Callable[[jax.Array], jax.Array],
+    def run(self, target_logp: Callable[[jax.Array], jax.Array] | None = None,
             score_fn: Callable | None = None,
+            data: Any | None = None,
             **overrides: Any) -> TrainResult:
-        """Build the flow and train it against ``target_logp``.
-        ``score_fn`` is required for (and only used by) the hamiltonian
-        family — pass the target's ∇logp."""
+        """Build the flow and train it.
+
+        Reverse-KL objectives train against ``target_logp``; for
+        ``objective='mle'`` pass ``data`` (an (n, dim) array) or set
+        ``data_path`` in the config — the flow maximizes data
+        log-likelihood through `train_flow_mle` and ``target_logp`` is
+        unused. ``score_fn`` is required for (and only used by) the
+        hamiltonian family — pass the target's ∇logp."""
         from . import objectives
+
+        key = jax.random.key(self.seed)
+        kb, kt = jax.random.split(key)
+        flow = self.flow.build(kb, score_fn=score_fn)
+
+        if self.objective == "mle":
+            from .train import train_flow_mle
+            from .utils.data import make_loader
+
+            source = data if data is not None else self.data_path
+            if source is None:
+                raise ValueError(
+                    "objective='mle' needs data: pass run(data=array) or "
+                    "set TrainConfig.data_path")
+            loader = make_loader(source, self.batch_size)
+            kwargs = dict(
+                max_iters=self.max_iters,
+                optimizer=self.optimizer.build(),
+                train_base=self.train_base,
+                check_every=self.check_every,
+                show_progress=self.show_progress,
+                unroll=self.unroll,
+            )
+            kwargs.update(overrides)
+            try:
+                return train_flow_mle(flow, loader, **kwargs)
+            finally:
+                loader.close()
 
         if self.objective not in ("elbo", "elbo_batch", "elbo_stl",
                                   "elbo_iw"):
             raise ValueError(f"unknown objective {self.objective!r}")
+        if target_logp is None:
+            raise ValueError(
+                f"objective={self.objective!r} needs target_logp")
         vo = getattr(objectives, self.objective)
-        key = jax.random.key(self.seed)
-        kb, kt = jax.random.split(key)
-        flow = self.flow.build(kb, score_fn=score_fn)
         # overrides may replace config-set knobs, not just add new kwargs
-        kwargs: dict[str, Any] = dict(
+        kwargs = dict(
             max_iters=self.max_iters,
             optimizer=self.optimizer.build(),
             train_base=self.train_base,

@@ -170,8 +170,17 @@ class NumpyLoader:
 
 def make_loader(path_or_array, batch: int, n_rows: int | None = None,
                 dim: int | None = None, seed: int = 0):
-    """Native loader for a file path, numpy fallback for in-memory data."""
+    """Native loader for a file path, numpy fallback for in-memory data.
+    `.npy`/`.npz` paths are self-describing (shape in the header) and load
+    through the numpy loader; raw float32 files need n_rows + dim and get
+    the C++ prefetching loader."""
     if isinstance(path_or_array, (str, os.PathLike)):
+        p = str(path_or_array)
+        if p.endswith(".npy") or p.endswith(".npz"):
+            loaded = np.load(p)
+            if not isinstance(loaded, np.ndarray):  # npz: first array
+                loaded = loaded[loaded.files[0]]
+            return NumpyLoader(loaded, batch, seed)
         if n_rows is None or dim is None:
             raise ValueError("n_rows and dim required for file datasets")
         try:
