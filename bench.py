@@ -128,19 +128,21 @@ def make_train_chunk(flow, target, n_samples):
     return run, optimizer
 
 
-def _timed_train(run, flow, opt_state, n_steps, reps=2):
-    """Wall time of an n_steps training scan, synced by fetching the final
-    loss value to the host. Returns (best_seconds, final_loss)."""
-    fl = 0.0
-    best = float("inf")
-    # first call compiles; time the subsequent ones
-    for i in range(reps + 1):
-        t0 = time.perf_counter()
-        _, _, losses = run(flow, opt_state, jax.random.key(1), n_steps)
-        fl = float(losses[-1])  # host fetch = true sync
-        if i > 0:
-            best = min(best, time.perf_counter() - t0)
-    return best, fl
+def _slope_stats(timed, n1, n2, reps=5):
+    """Median + IQR of ``reps`` independent paired two-size slopes
+    (VERDICT r4 item 2: scoreboard numbers carry spread; the fixed
+    dispatch overhead cancels within each rep). ``timed(n)`` returns
+    elapsed wall seconds for one synced n-unit execution."""
+    slopes = []
+    for _ in range(reps):
+        t1, t2 = timed(n1), timed(n2)
+        slopes.append(max((t2 - t1) / (n2 - n1), 1e-12))
+    s = sorted(slopes)
+    m = len(s) // 2
+    median = s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+    q1 = s[int(0.25 * (len(s) - 1))]
+    q3 = s[int(0.75 * (len(s) - 1))]
+    return median, (q1, q3), reps
 
 
 def _log(msg):
@@ -168,18 +170,29 @@ def _with_retries(label, fn, attempts=3, backoff_s=5.0):
     return None
 
 
-def measure_steps_per_s(device, n=2000, builder=build, batch=BATCH):
+def measure_steps_per_s(device, n=2000, builder=build, batch=BATCH,
+                        reps=5):
+    """Returns (median_steps_per_s, final_loss, (lo, hi) IQR band)."""
     with jax.default_device(device):
         flow, target = builder()
         run, optimizer = make_train_chunk(flow, target, batch)
         opt_state = optimizer.init(flow)
-        _log(f"steps timing on {device}: n={n}")
-        t1, fl = _timed_train(run, flow, opt_state, n)
-        _log(f"t({n} steps)={t1:.3f}s")
-        t2, _ = _timed_train(run, flow, opt_state, 2 * n)
-        _log(f"t({2*n} steps)={t2:.3f}s")
-    per_step = max((t2 - t1) / n, 1e-12)  # slope: overhead cancels
-    return 1.0 / per_step, fl
+        fl_box = [0.0]
+
+        def timed(steps):
+            t0 = time.perf_counter()
+            _, _, losses = run(flow, opt_state, jax.random.key(1), steps)
+            fl_box[0] = float(losses[-1])  # host fetch = true sync
+            return time.perf_counter() - t0
+
+        _log(f"steps timing on {device}: n={n}, {reps} slope reps")
+        timed(n)
+        fl = fl_box[0]
+        timed(2 * n)  # compile both sizes before timing
+        per_step, (q1, q3), _ = _slope_stats(timed, n, 2 * n, reps)
+        _log(f"median {1/per_step:.1f} steps/s, "
+             f"IQR [{1/q3:.1f}, {1/q1:.1f}]")
+    return 1.0 / per_step, fl, (1.0 / q3, 1.0 / q1)
 
 
 def measure_steps_per_s_fused(device, n=2000, reps=2):
@@ -224,7 +237,7 @@ def measure_steps_per_s_fused(device, n=2000, reps=2):
         return None
 
 
-def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2, fused=False):
+def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=5, fused=False):
     with jax.default_device(device):
         flow, _ = build(fused=fused)
 
@@ -241,20 +254,13 @@ def measure_samples_per_s(device, n=SAMPLE_BATCH, reps=2, fused=False):
             return acc
 
         def timed(m):
-            best = float("inf")
-            for i in range(reps + 1):
-                t0 = time.perf_counter()
-                v = float(draw_many(flow, jax.random.key(7), m))
-                if i > 0:
-                    best = min(best, time.perf_counter() - t0)
-            return best
+            t0 = time.perf_counter()
+            float(draw_many(flow, jax.random.key(7), m))  # fetch = sync
+            return time.perf_counter() - t0
 
-        _log("samples timing: m=8")
-        t1 = timed(8)
-        _log(f"t(8 batches)={t1:.3f}s; m=24")
-        t2 = timed(24)
-        _log(f"t(24 batches)={t2:.3f}s")
-    per_batch = max((t2 - t1) / 16, 1e-12)
+        _log(f"samples timing: m=8/24, {reps} slope reps")
+        timed(8), timed(24)  # compile both sizes
+        per_batch, (q1, q3), _ = _slope_stats(timed, 8, 24, reps)
     return n / per_batch
 
 
@@ -268,12 +274,14 @@ def main():
     xla_steps_per_s = fused_field = samples_per_s = None
     nsf_steps = wide_f32 = wide_bf16 = wide_bf16_mfu = None
     vs_baseline = None
+    steps_iqr = nsf_iqr = wide_bf16_mfu_iqr = None
 
     headline = _with_retries(
         "headline steps/s", lambda: measure_steps_per_s(accel))
     if headline is not None:
-        xla_steps_per_s, final_loss = headline
+        xla_steps_per_s, final_loss, hi_iqr = headline
         steps_per_s = xla_steps_per_s
+        steps_iqr = [round(hi_iqr[0], 2), round(hi_iqr[1], 2)]
     if accel.platform != "cpu":
         fused = _with_retries(
             "fused train kernel", lambda: measure_steps_per_s_fused(accel),
@@ -285,6 +293,7 @@ def main():
                 # the whole-run Pallas kernel is the headline path; same
                 # math as the optax scan (tests/test_train_kernel.py)
                 steps_per_s, final_loss = fused_steps_per_s, fused_loss
+                steps_iqr = None  # fused path uses the legacy protocol
     samples_per_s = _with_retries(
         "samples/s", lambda: measure_samples_per_s(accel))
     if accel.platform != "cpu":
@@ -305,6 +314,7 @@ def main():
                                     batch=64))
     if nsf is not None:
         nsf_steps = round(nsf[0], 2)
+        nsf_iqr = [round(nsf[2][0], 2), round(nsf[2][1], 2)]
 
     def wide():
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent
@@ -322,6 +332,7 @@ def main():
         wide_f32 = r32["steps_per_s"]
         wide_bf16 = r16["steps_per_s"]
         wide_bf16_mfu = r16["pct_of_roofline_MFU"]
+        wide_bf16_mfu_iqr = r16.get("pct_of_roofline_MFU_iqr")
 
     def cpu_baseline():
         try:
@@ -330,7 +341,7 @@ def main():
             return 1.0
         if cpu is None:
             return 1.0
-        cpu_steps_per_s, _ = measure_steps_per_s(cpu, n=1000)
+        cpu_steps_per_s, _, _ = measure_steps_per_s(cpu, n=1000, reps=3)
         return steps_per_s / cpu_steps_per_s
 
     if steps_per_s is not None:
@@ -349,11 +360,15 @@ def main():
         "batch_per_step": BATCH,
         "xla_scan_steps_per_s": (None if xla_steps_per_s is None
                                  else round(xla_steps_per_s, 2)),
+        "steps_per_s_iqr": steps_iqr,
+        "timing_reps": 5,
         "fused_kernel_steps_per_s": fused_field,
         "nsf_steps_per_s": nsf_steps,
+        "nsf_steps_per_s_iqr": nsf_iqr,
         "wide_realnvp_f32_steps_per_s": wide_f32,
         "wide_realnvp_bf16_steps_per_s": wide_bf16,
         "wide_realnvp_bf16_mfu_pct": wide_bf16_mfu,
+        "wide_realnvp_bf16_mfu_pct_iqr": wide_bf16_mfu_iqr,
         "device": str(accel),
         "baseline_def": "same jitted program on 1 host CPU core (reference "
                         "is CPU-only Julia with no published numbers; "

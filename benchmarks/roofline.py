@@ -53,20 +53,52 @@ def _sync(x) -> float:
     return float(jnp.ravel(x)[0])
 
 
-def _slope_time(fn, n1: int, n2: int, reps: int = 3) -> float:
-    """Per-unit seconds via two-size slope: (t(n2) − t(n1)) / (n2 − n1).
-    fn(n) must run n units on-device and return an array to fetch."""
-    def timed(n):
-        best = float("inf")
-        for i in range(reps + 1):  # first call compiles
-            t0 = time.perf_counter()
-            _sync(fn(n))
-            if i:
-                best = min(best, time.perf_counter() - t0)
-        return best
+def _slope_stats(fn, n1: int, n2: int, reps: int = 5) -> dict:
+    """Per-unit seconds via two-size slope, as a DISTRIBUTION.
 
-    t1, t2 = timed(n1), timed(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-12)
+    Runs ``reps`` independent paired measurements — each rep times one
+    n1-unit and one n2-unit execution and forms the slope
+    (t(n2) − t(n1)) / (n2 − n1), so the fixed dispatch overhead cancels
+    within every rep — and reports the median slope with its IQR
+    (VERDICT r4 item 2: every scoreboard number must carry spread; the
+    old best-of-2 protocol produced a 25% unexplained envelope between
+    artifacts). fn(n) must run n units on-device and return an array to
+    fetch (host fetch = the only reliable sync on tunneled backends)."""
+    def timed(n):
+        t0 = time.perf_counter()
+        _sync(fn(n))
+        return time.perf_counter() - t0
+
+    timed(n1), timed(n2)  # compile both sizes
+    slopes = []
+    for _ in range(reps):
+        t1, t2 = timed(n1), timed(n2)
+        slopes.append(max((t2 - t1) / (n2 - n1), 1e-12))
+    s = sorted(slopes)
+    m = len(s) // 2
+    median = s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+    q1 = s[int(0.25 * (len(s) - 1))]
+    q3 = s[int(0.75 * (len(s) - 1))]
+    return {"median": median, "iqr": (q1, q3), "reps": reps,
+            "slopes": slopes}
+
+
+def _slope_time(fn, n1: int, n2: int, reps: int = 5) -> float:
+    """Median per-unit seconds (see `_slope_stats`)."""
+    return _slope_stats(fn, n1, n2, reps)["median"]
+
+
+def _rate_fields(stats: dict, scale: float, round_to: int = 1) -> dict:
+    """Convert a slope distribution into rate fields: median rate,
+    [lo, hi] IQR band (note: rate = scale/slope, so the band flips), and
+    rep count."""
+    q1, q3 = stats["iqr"]
+    return {
+        "rate_median": round(scale / stats["median"], round_to),
+        "rate_iqr": [round(scale / q3, round_to),
+                     round(scale / q1, round_to)],
+        "timing_reps": stats["reps"],
+    }
 
 
 # ---------------------------------------------------------------- RQS kernel
@@ -112,14 +144,17 @@ def measure_rqs(n_elems: int = 1 << 22, K: int = 10, B: float = 30.0,
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
         return acc
 
-    per_pass = _slope_time(
-        lambda m: run(x, raw_t, jax.random.key(1), m), 4, 12)
+    st = _slope_stats(lambda m: run(x, raw_t, jax.random.key(1), m), 4, 12)
+    per_pass = st["median"]
     flops_per, bytes_per = rqs_flops_bytes(K)
     gbps = n_elems * bytes_per / per_pass / 1e9
+    rf = _rate_fields(st, n_elems / 1e9, 3)
     return {
         "measurement": "rqs_fused_forward",
         "config": f"n={n_elems}, K={K}, f32",
-        "elems_per_s": round(n_elems / per_pass / 1e9, 3),
+        "elems_per_s": rf["rate_median"],
+        "elems_per_s_iqr": rf["rate_iqr"],
+        "timing_reps": rf["timing_reps"],
         "unit_elems": "Gelem/s",
         "bytes_per_elem": bytes_per,
         "flops_per_elem": flops_per,
@@ -183,26 +218,33 @@ def measure_wide_train(dim=128, hdims=(256, 256), nlayers=10, batch=4096,
         )
         return losses[-1]
 
-    per_step = _slope_time(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    st = _slope_stats(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    per_step = st["median"]
     flops = realnvp_train_flops(dim, hdims, nlayers, batch)
     achieved = flops / per_step
     peak = PEAK_BF16_FLOPS if compute_dtype == jnp.bfloat16 else PEAK_F32_FLOPS
     dt = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+    rf = _rate_fields(st, 1.0)
+    q1, q3 = st["iqr"]
     return {
         "measurement": f"realnvp_wide_train_{dt}",
         "config": f"d={dim}, hdims={list(hdims)}, L={nlayers}, batch={batch}",
-        "steps_per_s": round(1.0 / per_step, 1),
+        "steps_per_s": rf["rate_median"],
+        "steps_per_s_iqr": rf["rate_iqr"],
+        "timing_reps": rf["timing_reps"],
         "matmul_flops_per_step": flops,
         "achieved_TFLOPs": round(achieved / 1e12, 2),
         "roofline": f"MXU {dt} {peak/1e12:.0f} TFLOP/s",
         "pct_of_roofline_MFU": round(100 * achieved / peak, 1),
+        "pct_of_roofline_MFU_iqr": [round(100 * flops / q3 / peak, 1),
+                                    round(100 * flops / q1 / peak, 1)],
         "device": str(jax.devices()[0]),
     }
 
 
 def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
                            batch=4096, compute_dtype=None, n=10,
-                           remat=True):
+                           remat=True, mxu_rate=None):
     """NSF training step in the THROUGHPUT regime (the bench's NSF row is
     the latency-class demo config, batch 64/d=2). The step mixes
     conditioner matmuls (MXU) with the fused RQS kernel (VPU), so the
@@ -233,19 +275,72 @@ def measure_nsf_wide_train(dim=64, hdims=(128, 128), K=10, nlayers=10,
         (_, _), losses = jax.lax.scan(train_step, (flow, opt_state), xs)
         return losses[-1]
 
-    per_step = _slope_time(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    st = _slope_stats(lambda m: run(jax.random.key(1), m), n, 3 * n)
+    per_step = st["median"]
     elems = batch * dim * nlayers  # spline elements per forward
     dt = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
-    return {
+    rf = _rate_fields(st, 1.0)
+    row = {
         "measurement": f"nsf_wide_train_{dt}"
                        + ("" if remat else "_noremat"),
         "config": f"d={dim}, hdims={list(hdims)}, K={K}, L={nlayers}, "
                   f"batch={batch}",
-        "steps_per_s": round(1.0 / per_step, 1),
+        "steps_per_s": rf["rate_median"],
+        "steps_per_s_iqr": rf["rate_iqr"],
+        "timing_reps": rf["timing_reps"],
         "spline_elems_per_fwd": elems,
         "spline_Melems_per_s": round(elems / per_step / 1e6, 1),
-        "roofline": "mixed MXU(conditioners)+VPU(RQS) — no single roof",
+        "roofline": "mixed MXU(conditioners)+VPU(RQS) — two-term bound",
         "device": str(jax.devices()[0]),
+    }
+    bound = nsf_two_term_bound(dim, hdims, K, nlayers, batch,
+                               compute_dtype, mxu_rate=mxu_rate)
+    row.update(bound)
+    row["pct_of_roofline"] = round(
+        100 * bound["two_term_bound_s"] / per_step, 1)
+    return row
+
+
+def nsf_two_term_bound(dim, hdims, K, nlayers, batch, compute_dtype,
+                       mxu_rate=None, vpu_gelem_s=None):
+    """Combined lower bound on NSF train-step time (VERDICT r4 item 4):
+
+        t_step ≥ conditioner matmul flops / achieved MXU rate
+               + spline elems (fwd+bwd) / achieved VPU kernel rate
+
+    Each term uses the MEASURED component ceiling for this chip, not the
+    paper peak: the MXU rate is what the wide-RealNVP step achieves on
+    comparable matmul shapes (`measure_wide_train`; pass its
+    achieved_TFLOPs in as ``mxu_rate`` for a same-run bound), and the
+    VPU rate is the fused RQS kernel's measured TRAIN-PATH throughput —
+    fwd + custom-VJP backward via value_and_grad, 0.67 Gelem/s
+    (benchmarks/rqs_tune.py "pallas fwd+bwd (train path)", recorded in
+    KERNELS.md; the standalone fwd is 1.8). The two resources CAN
+    overlap in principle, so the sum is conservative by at most the
+    smaller term."""
+    half = dim // 2
+    # conditioner: dim/2 -> hdims -> (3K-1)*dim/2, one per coupling,
+    # 2 couplings per block; backward ≈ 3× forward matmul flops
+    dims = [half, *hdims, (3 * K - 1) * half]
+    mlp = sum(2 * a * b for a, b in zip(dims[:-1], dims[1:]))
+    matmul_flops = 3 * batch * mlp * 2 * nlayers
+    if mxu_rate is None:
+        # measured wide-train achieved rate (ROOFLINE
+        # realnvp_wide_train rows): ~55% of 197 TFLOP/s for bf16
+        # conditioners, ~39% of 49 TFLOP/s for f32
+        mxu_rate = (0.55 * PEAK_BF16_FLOPS
+                    if compute_dtype == jnp.bfloat16
+                    else 0.39 * PEAK_F32_FLOPS)
+    if vpu_gelem_s is None:
+        vpu_gelem_s = 0.67  # measured fwd+VJP train-path rate (KERNELS.md)
+    spline_elems = batch * dim * nlayers
+    t_mxu = matmul_flops / mxu_rate
+    t_vpu = spline_elems / (vpu_gelem_s * 1e9)
+    return {
+        "two_term_bound_s": t_mxu + t_vpu,
+        "two_term_bound_steps_per_s": round(1.0 / (t_mxu + t_vpu), 1),
+        "bound_matmul_ms": round(t_mxu * 1e3, 3),
+        "bound_vpu_ms": round(t_vpu * 1e3, 3),
     }
 
 
@@ -280,10 +375,12 @@ def measure_fused_sampling(dim=2, hdims=(16, 16), nlayers=3,
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jax.random.split(key, m))
         return acc
 
-    per_pass = _slope_time(lambda m: run(jax.random.key(1), m), 4, 12)
+    st = _slope_stats(lambda m: run(jax.random.key(1), m), 4, 12)
+    per_pass = st["median"]
     flops, bytes_ = coupling_fwd_flops_bytes(dim, hdims, nlayers, batch)
     gbps = bytes_ / per_pass / 1e9
     tflops = flops / per_pass / 1e12
+    rf = _rate_fields(st, batch / 1e6, 2)
     # intensity 432 flop/B is ABOVE the v5e ridge (~240): the binding roof
     # is the f32 MXU, not HBM — but the [16,16] conditioner matmuls are far
     # too small to tile a 128×128 systolic array, so the honest reading of
@@ -292,7 +389,9 @@ def measure_fused_sampling(dim=2, hdims=(16, 16), nlayers=3,
         "measurement": ("coupling_fused_sampling" if fused
                         else "sampling_xla_default"),
         "config": f"d={dim}, hdims={list(hdims)}, L={nlayers}, batch={batch}",
-        "samples_per_s": round(batch / per_pass / 1e6, 2),
+        "samples_per_s": rf["rate_median"],
+        "samples_per_s_iqr": rf["rate_iqr"],
+        "timing_reps": rf["timing_reps"],
         "unit_samples": "Msamples/s",
         "flops_per_pass": flops,
         "bytes_per_pass": bytes_,
@@ -311,18 +410,26 @@ def write_md(rows):
         "# ROOFLINE — measured kernel rates vs v5e speed-of-light",
         "",
         "Peaks assumed: 197 TFLOP/s bf16 MXU (f32 ≈ 1/4 via multi-pass),",
-        "819 GB/s HBM. Achieved rates use two-size slope timing (fixed",
-        "dispatch overhead cancels; sync via host scalar fetch). Analytic",
-        "flop/byte models in `benchmarks/roofline.py` docstrings.",
+        "819 GB/s HBM. Every rate is the MEDIAN of ≥5 independent",
+        "two-size-slope measurements with its IQR in brackets (fixed",
+        "dispatch overhead cancels within each rep; sync via host scalar",
+        "fetch). Analytic flop/byte models in `benchmarks/roofline.py`",
+        "docstrings.",
         "",
-        "| measurement | config | rate | analytic cost | achieved | "
-        "roofline | % of roof |",
+        "| measurement | config | rate (median [IQR]) | analytic cost | "
+        "achieved | roofline | % of roof |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        rate = (f"{r.get('steps_per_s')} steps/s" if "steps_per_s" in r else
-                f"{r.get('elems_per_s')} Gelem/s" if "elems_per_s" in r else
-                f"{r.get('samples_per_s')} Msamples/s")
+        def _band(key):
+            iqr = r.get(key + "_iqr")
+            return f" [{iqr[0]}–{iqr[1]}]" if iqr else ""
+        rate = (f"{r.get('steps_per_s')}{_band('steps_per_s')} steps/s"
+                if "steps_per_s" in r else
+                f"{r.get('elems_per_s')}{_band('elems_per_s')} Gelem/s"
+                if "elems_per_s" in r else
+                f"{r.get('samples_per_s')}{_band('samples_per_s')} "
+                "Msamples/s")
         cost = (f"{r['matmul_flops_per_step']:.3g} flop/step"
                 if "matmul_flops_per_step" in r else
                 f"{r['spline_elems_per_fwd']} spline elems/fwd "
@@ -359,6 +466,12 @@ def write_md(rows):
         "  is MFU (model flops / peak). The demo-size configs (d=2,",
         "  [16,16]) are dispatch/latency-bound and intentionally NOT",
         "  presented as roofline evidence.",
+        "- The NSF wide-train row's %% is against the TWO-TERM bound",
+        "  (`roofline.nsf_two_term_bound`): step time ≥ conditioner",
+        "  matmul flops / this run's measured bf16 MXU rate + spline",
+        "  elems / the RQS kernel's measured fwd+VJP rate (0.67 Gelem/s,",
+        "  KERNELS.md). The bound assumes zero overlap between MXU and",
+        "  VPU work, so it is conservative by at most the smaller term.",
         "- The d=2 sampling rows have intensity ABOVE the ridge, so their",
         "  binding roof is the f32 MXU — but [16,16] conditioner matmuls",
         "  cannot fill a 128×128 systolic array, so the small % measures",
@@ -386,9 +499,14 @@ def main():
                                    compute_dtype=jnp.bfloat16,
                                    n=10 if a.quick else 30))
     print(json.dumps(rows[-1]), flush=True)
+    # same-run bound: the NSF two-term roof's MXU rate is THIS run's
+    # measured bf16 wide-train rate (VERDICT r4 items 2+4 — one artifact,
+    # one number)
+    bf16_rate = rows[-1]["achieved_TFLOPs"] * 1e12
     rows.append(measure_nsf_wide_train(batch=1024 if a.quick else 4096,
                                        compute_dtype=jnp.bfloat16,
-                                       n=5 if a.quick else 10))
+                                       n=5 if a.quick else 10,
+                                       mxu_rate=bf16_rate))
     print(json.dumps(rows[-1]), flush=True)
     if jax.default_backend() == "tpu":
         # default XLA sampling at saturating batch (the production path;
