@@ -267,6 +267,111 @@ def hamiltonian(iters):
                 project=lambda s: s[:, :dim], n_eval=65536, eval_reps=8)
 
 
+def _run_mle(name, flow, target, batch, optimizer, max_iters, check_every,
+             n_train=65536, seed=123):
+    """Forward-KL (MLE) analogue of `_run`: train on exact target draws
+    via `train_flow_mle`, score by held-out mean log-likelihood (the
+    reference's `loglikelihood` objective, `src/objectives/
+    loglikelihood.jl`), plus the same SW₂/TV/figure evidence."""
+    from normalizingflows.jl_tpu.utils.data import make_loader
+
+    key = jax.random.key(seed)
+    kd, kh, km1, km2 = jax.random.split(key, 4)
+    train_data = target.sample(kd, (n_train,))
+    heldout = target.sample(kh, (N_EVAL,))
+    loader = make_loader(jnp.asarray(train_data), batch, seed=seed)
+
+    ll = jax.jit(lambda f, x: nf.loglikelihood(f, x))
+    before = float(ll(flow, heldout))
+    t0 = time.perf_counter()
+    res = nf.train_flow_mle(flow, loader, max_iters=max_iters,
+                            optimizer=optimizer, check_every=check_every)
+    after = float(ll(res.flow, heldout))
+    wall = time.perf_counter() - t0
+    loader.close()
+    tail = res.stats["loss"][-max(max_iters // 10, 1):]
+
+    flow_samples = jax.jit(lambda k: res.flow.sample(k, (N_MOMENT,)))(km1)
+    untrained_samples = jax.jit(lambda k: flow.sample(k, (N_MOMENT,)))(km1)
+    target_samples = target.sample(km2, (N_MOMENT,))
+    fm, fs = _moments(flow_samples)
+    tm, ts = _moments(target_samples)
+    sem = float(jnp.max(ts)) / math.sqrt(N_MOMENT)
+    kw, km3 = jax.random.split(jax.random.key(11))
+    target_b = target.sample(km3, (N_MOMENT,))
+    sw2 = float(nf.sliced_wasserstein2(kw, flow_samples, target_samples))
+    sw2_floor = float(nf.sliced_wasserstein2(kw, target_b, target_samples))
+    tv = float(nf.grid_total_variation(flow_samples, target_samples))
+    tv_floor = float(nf.grid_total_variation(target_b, target_samples))
+    fig_path = _figure(name, flow_samples, untrained_samples, target_samples)
+    return {
+        "workload": name,
+        "metric": "heldout_mean_loglik (forward-KL MLE; other rows: ELBO)",
+        "iters": int(max_iters),
+        "elbo_before": round(before, 4),
+        "elbo_after": round(after, 4),
+        "elbo_train_tail": round(-float(sum(tail) / len(tail)), 4),
+        "iters_per_s": round(max_iters / wall, 1),
+        "mean_flow": [round(float(v), 4) for v in fm],
+        "mean_target": [round(float(v), 4) for v in tm],
+        "std_flow": [round(float(v), 4) for v in fs],
+        "std_target": [round(float(v), 4) for v in ts],
+        "max_abs_mean_err": round(float(jnp.max(jnp.abs(fm - tm))), 4),
+        "max_abs_std_err": round(float(jnp.max(jnp.abs(fs - ts))), 4),
+        "mc_sem": round(sem, 5),
+        "sliced_w2": round(sw2, 4),
+        "sliced_w2_floor": round(sw2_floor, 4),
+        "grid_tv": round(tv, 4),
+        "grid_tv_floor": round(tv_floor, 4),
+        "figure": fig_path,
+        "improved_significant": bool(after > before),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def glow_w(iters):
+    """Glow on the Cross target (the family's demo config,
+    `examples/demo_glow.py`: 6 blocks [32,32], data-dependent ActNorm
+    init, 64 samples/iter, Adam(2e-3)). No reference counterpart —
+    beyond-reference family, evidenced with the same metric discipline
+    (VERDICT r4 item 5)."""
+    t = nf.Cross()
+    kf, ki = jax.random.split(jax.random.key(0))
+    flow = jax.jit(lambda k: nf.glow(k, 2, (32, 32), nlayers=6))(kf)
+    flow = nf.glow_init_actnorms(flow, flow.base.sample(ki, (1024,)))
+    return _run("glow_cross", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 64,
+                optax.adam(2e-3), iters, max(iters // 10, 1), eval_reps=4)
+
+
+def iaf_w(iters):
+    """IAF reverse-KL on the easy Banana(2,1,10) (planar demo target):
+    5 layers [32,32], 64 samples/iter, Adam(2e-3). Sampling direction is
+    the one-pass parallel direction for IAF, so reverse-KL training is
+    its natural objective. Beyond-reference family."""
+    t = nf.Banana(2, 1.0, 10.0)
+    flow = jax.jit(
+        lambda k: nf.iaf(k, 2, (32, 32), nlayers=5)
+    )(jax.random.key(0))
+    return _run("iaf_banana_easy", flow, t.log_prob,
+                lambda k, n: t.sample(k, (n,)), nf.elbo_batch, 64,
+                optax.adam(2e-3), iters, max(iters // 10, 1))
+
+
+def maf_w(iters):
+    """MAF forward-KL MLE on exact Banana(2,1,10) draws (the family's
+    demo config, `examples/demo_maf_mle.py`: 5 layers [32,32], batch 256,
+    Adam(1e-3)); density evaluation is MAF's one-pass direction, so MLE
+    is its natural objective. Beyond-reference family + the reference's
+    TODO dataloader path exercised at parity scale."""
+    t = nf.Banana(2, 1.0, 10.0)
+    flow = jax.jit(
+        lambda k: nf.maf(k, 2, (32, 32), nlayers=5)
+    )(jax.random.key(0))
+    return _run_mle("maf_banana_mle", flow, t, 256, optax.adam(1e-3),
+                    iters, max(iters // 10, 1))
+
+
 WORKLOADS = {
     "planar": (planar, 10_000, 500),
     "radial": (radial, 10_000, 500),
@@ -282,6 +387,10 @@ WORKLOADS = {
     # recorded a regression that was pure under-training + estimator
     # noise: the funnel ELBO estimate has ~1-nat stdev per 16k draws)
     "hamiltonian": (hamiltonian, 20_000, 100),
+    # beyond-reference families (VERDICT r4 item 5)
+    "glow": (glow_w, 10_000, 500),
+    "iaf": (iaf_w, 10_000, 500),
+    "maf": (maf_w, 3_000, 300),  # ~12 epochs over 65k samples
 }
 
 
@@ -297,10 +406,14 @@ def save(entry):
 def report():
     data = json.loads(JSON_PATH.read_text())
     lines = [
-        "# PARITY — the five reference demo workloads, self-measured",
+        "# PARITY — reference demo workloads + beyond-reference families,"
+        " self-measured",
         "",
-        "Configs replicate the reference demos exactly (docstrings in",
-        "`benchmarks/parity.py` cite file:line). Moment parity is the",
+        "The first five rows replicate the reference demos exactly",
+        "(docstrings in `benchmarks/parity.py` cite file:line);",
+        "glow/iaf/maf are beyond-reference families evidenced with the",
+        "same metric discipline (maf's column is held-out mean",
+        "log-likelihood — it trains forward-KL MLE). Moment parity is the",
         "trained flow's per-coordinate mean/std vs exact target samples",
         f"({N_MOMENT} draws each); `mc_sem` is the Monte-Carlo standard",
         "error of those estimates — the parity yardstick.",

@@ -253,32 +253,79 @@ class Scale(Bijector):
 
 @module
 class Stacked(Bijector):
-    """Apply different bijectors to contiguous index ranges of the last axis.
+    """Apply different bijectors to disjoint index sets of the last axis.
 
     Equivalent of Bijectors.jl `Stacked((b1, b2), [r1, r2])`, used by the
     Hamiltonian flow's momentum-normalization layer
-    (`example/demo_hamiltonian_flow.jl:93-99`). ``ranges`` are (start, stop)
-    pairs that must tile [0, dim) contiguously — static, so XLA sees fixed
-    slices (TPU-friendly; no gather needed)."""
+    (`example/demo_hamiltonian_flow.jl:93-99`). Each range may be a
+    ``(start, stop)`` TUPLE (contiguous span — XLA sees fixed slices, no
+    gather; the legacy form used by the momentum layer) or any other
+    static index sequence — a ``range``, list, or tuple of length ≠ 2 —
+    taken literally as the index set (the reference's general form, e.g.
+    ``Stacked(bs, [1:3:d, 2:3:d, 3:3:d])``), lowered to a fixed
+    gather/scatter. To pass a literal TWO-element index set, use a list
+    (``[0, 2]``) — a bare 2-tuple always means (start, stop). All indices
+    are static aux data; the sets must be pairwise disjoint and together
+    tile [0, dim) so the layer stays a bijection."""
 
     bijectors: tuple[Bijector, ...]
-    ranges: tuple[tuple[int, int], ...] = static_field()
+    ranges: tuple[tuple[int, ...], ...] = static_field()
 
     def __init__(self, bijectors: Sequence[Bijector],
-                 ranges: Sequence[tuple[int, int]]):
+                 ranges: Sequence):
         object.__setattr__(self, "bijectors", tuple(bijectors))
-        object.__setattr__(self, "ranges", tuple(tuple(r) for r in ranges))
+        # Normalized storage form: tagged tuples ('idx', i0, i1, ...) so
+        # pytree unflatten (which re-invokes __init__ with the stored aux
+        # data) is a no-op re-normalization — a bare user tuple can never
+        # start with the 'idx' tag, so the forms are unambiguous.
+        norm = []
+        for r in ranges:
+            if isinstance(r, tuple) and len(r) > 0 and r[0] == "idx":
+                norm.append(r)  # already normalized (pytree round-trip)
+            elif isinstance(r, tuple) and len(r) == 2:
+                # legacy contiguous (start, stop) span
+                norm.append(("idx", *range(int(r[0]), int(r[1]))))
+            else:
+                norm.append(("idx", *(int(i) for i in r)))
+        object.__setattr__(self, "ranges", tuple(norm))
         if len(self.bijectors) != len(self.ranges):
             raise ValueError("bijectors and ranges must have equal length")
+        flat = [i for r in self.ranges for i in r[1:]]
+        if len(set(flat)) != len(flat) or set(flat) != set(range(len(flat))):
+            raise ValueError(
+                "Stacked index sets must be disjoint and tile [0, dim); "
+                f"got {self.index_sets}")
+
+    @property
+    def index_sets(self) -> tuple[tuple[int, ...], ...]:
+        """The resolved per-bijector index sets."""
+        return tuple(r[1:] for r in self.ranges)
+
+    @staticmethod
+    def _is_contiguous(idx: tuple[int, ...]) -> bool:
+        return idx == tuple(range(idx[0], idx[-1] + 1))
+
+    def _take(self, x, idx):
+        if self._is_contiguous(idx):
+            return x[..., idx[0]:idx[-1] + 1]
+        return x[..., jnp.asarray(idx, dtype=jnp.int32)]
 
     def _apply(self, x, fn_name):
-        outs = []
+        parts = []
         log_det = _zero_log_det(x)
-        for b, (lo, hi) in zip(self.bijectors, self.ranges):
-            part, ld = getattr(b, fn_name)(x[..., lo:hi])
-            outs.append(part)
+        for b, idx in zip(self.bijectors, self.index_sets):
+            part, ld = getattr(b, fn_name)(self._take(x, idx))
+            parts.append((idx, part))
             log_det = log_det + ld
-        return jnp.concatenate(outs, axis=-1), log_det
+        if all(self._is_contiguous(idx) for idx, _ in parts) and tuple(
+            i for idx, _ in parts for i in idx
+        ) == tuple(range(x.shape[-1])):
+            # contiguous in-order tiling: plain concat, no scatter
+            return jnp.concatenate([p for _, p in parts], axis=-1), log_det
+        out = jnp.zeros_like(x)
+        for idx, p in parts:
+            out = out.at[..., jnp.asarray(idx, dtype=jnp.int32)].set(p)
+        return out, log_det
 
     def forward_and_log_det(self, x):
         return self._apply(x, "forward_and_log_det")
