@@ -312,12 +312,14 @@ def nsf_two_term_bound(dim, hdims, K, nlayers, batch, compute_dtype,
     paper peak: the MXU rate is what the wide-RealNVP step achieves on
     comparable matmul shapes (`measure_wide_train`; pass its
     achieved_TFLOPs in as ``mxu_rate`` for a same-run bound), and the
-    VPU rate is the fused RQS kernel's measured TRAIN-PATH throughput —
-    fwd + custom-VJP backward via value_and_grad, 0.67 Gelem/s
-    (benchmarks/rqs_tune.py "pallas fwd+bwd (train path)", recorded in
-    KERNELS.md; the standalone fwd is 1.8). The two resources CAN
-    overlap in principle, so the sum is conservative by at most the
-    smaller term."""
+    VPU rate is the fused RQS kernel's measured TRAIN-PATH throughput
+    AT THE STEP'S ACTUAL PER-CALL SIZE — fwd + custom-VJP backward via
+    value_and_grad over a chain of sequential dependent calls of
+    batch×dim/2 elements each, exactly how the layer scan issues them:
+    0.945 Gelem/s at 131k elems/call (benchmarks/nsf_gap.py,
+    2026-08-21; the 4M-element standalone figures in KERNELS.md are a
+    different regime). The two resources CAN overlap in principle, so
+    the sum is conservative by at most the smaller term."""
     half = dim // 2
     # conditioner: dim/2 -> hdims -> (3K-1)*dim/2, one per coupling,
     # 2 couplings per block; backward ≈ 3× forward matmul flops
@@ -332,7 +334,8 @@ def nsf_two_term_bound(dim, hdims, K, nlayers, batch, compute_dtype,
                     if compute_dtype == jnp.bfloat16
                     else 0.39 * PEAK_F32_FLOPS)
     if vpu_gelem_s is None:
-        vpu_gelem_s = 0.67  # measured fwd+VJP train-path rate (KERNELS.md)
+        vpu_gelem_s = 0.945  # measured fwd+VJP rate at the step's
+        # per-call size (benchmarks/nsf_gap.py)
     spline_elems = batch * dim * nlayers
     t_mxu = matmul_flops / mxu_rate
     t_vpu = spline_elems / (vpu_gelem_s * 1e9)
