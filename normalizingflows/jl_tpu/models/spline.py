@@ -105,6 +105,11 @@ class NeuralSplineCoupling(Bijector):
     def _transform(self, v: jax.Array, cond: jax.Array, inverse: bool):
         raw = self._raw(cond)
         if self._use_pallas():
+            # bf16 raw under the mixed-precision policy — see
+            # SplinePairStack._transform for the traffic rationale
+            cd = getattr(self.nn.layers[-1], "compute_dtype", None)
+            if cd is not None:
+                raw = raw.astype(cd)
             return rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse,
                                         interpret=self.interpret)
         xs, ys, ds = rqs.rqs_params_from_raw(raw, self.B)
@@ -173,6 +178,16 @@ class SplinePairStack(Bijector):
         n_t = v.shape[-1]
         raw = nn(cond).reshape(cond.shape[:-1] + (n_t, 3 * self.K - 1))
         if self._use_pallas():
+            # When the conditioners run the bf16 mixed-precision policy,
+            # hand the kernel its raw params in bf16 too: raw is 29 of
+            # the ~32 words/element of kernel traffic, and the producer→
+            # transpose→kernel glue around the param-major kernel moves
+            # it three times — storing it half-width halves that glue
+            # (in-kernel math still runs in x's dtype; `_tile_transform`
+            # upcasts on read).
+            cd = getattr(nn.layers[-1], "compute_dtype", None)
+            if cd is not None:
+                raw = raw.astype(cd)
             y, ld = rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse,
                                          interpret=self.interpret)
         else:
