@@ -107,7 +107,92 @@ def nsf_fwd_time(reps=5):
     return _paired(timed, 5, 15, reps)
 
 
+def fwd_parts(reps=5):
+    """Binary-search the NSF forward's 3.4 ms of unexplained glue: time
+    nested sub-programs of the real forward and difference them.
+      a. conditioners only (20 chained MLP calls, bf16)
+      b. + reshape → bf16 raw → param-major transpose → RQS kernel
+         (the full per-coupling `_transform` pipeline, 20 chained)
+      c. full SplinePairStack.forward_and_log_det (adds split carry,
+         interleave, logdet sums, scan structure)
+      d. full sample_and_log_prob (adds base sample + base log_prob)
+    """
+    from normalizingflows.jl_tpu.models.spline import SplinePairStack
+
+    flow = jax.jit(
+        lambda k: nf.nsf(k, DIM, (HD, HD), K=K, nlayers=L_BLOCKS,
+                         identity_init=True, compute_dtype=jnp.bfloat16)
+    )(jax.random.key(0))
+    stack = flow.bijector.bijectors[0]
+    assert isinstance(stack, SplinePairStack)
+    half = DIM // 2
+    x = jax.random.normal(jax.random.key(1), (BATCH, DIM))
+    xa, xb = x[..., 0::2], x[..., 1::2]
+
+    def chained(body):
+        @functools.partial(jax.jit, static_argnums=1)
+        def run(key, m):
+            def outer(c, k):
+                return body(c, k), None
+            c0 = (xa, xb, jnp.zeros(()))
+            (a, b, acc), _ = jax.lax.scan(
+                outer, c0, jax.random.split(key, m))
+            return acc
+
+        def timed(m):
+            t0 = time.perf_counter()
+            float(run(jax.random.key(2), m))
+            return time.perf_counter() - t0
+
+        timed(5), timed(15)
+        return _paired(timed, 5, 15, reps)
+
+    nns = stack.stacked  # {'even'|'odd': stacked MLPs with leading L axis}
+
+    def conds_only(c, k):
+        a, b, acc = c
+        def blk(carry, nn2):
+            a, b, s = carry
+            ra = nn2["even"](b)
+            rb = nn2["odd"](a)
+            return (a, b, s + jnp.sum(ra[..., :1]) + jnp.sum(rb[..., :1])), None
+        (a, b, s), _ = jax.lax.scan(blk, (a, b, jnp.zeros(())), nns)
+        return (a * 0.999, b, acc + s)
+
+    def transform_pipeline(c, k):
+        a, b, acc = c
+        def blk(carry, nn2):
+            a, b, s = carry
+            ya, lde = stack._transform(a, nn2["even"], b, False)
+            yb, ldo = stack._transform(b, nn2["odd"], ya, False)
+            return (ya, yb, s + jnp.sum(lde) + jnp.sum(ldo)), None
+        (a, b, s), _ = jax.lax.scan(blk, (a, b, jnp.zeros(())), nns)
+        return (a * 0.999, b, acc + s)
+
+    def full_stack(c, k):
+        a, b, acc = c
+        y, ld = stack.forward_and_log_det(
+            jax.random.normal(k, (BATCH, DIM)))
+        return (a, b, acc + y[0, 0] + ld[0])
+
+    def full_flow(c, k):
+        a, b, acc = c
+        y, lq = flow.sample_and_log_prob(k, (BATCH,))
+        return (a, b, acc + y[0, 0] + lq[0])
+
+    for name, body in (("a_conds_only", conds_only),
+                       ("b_transform_pipeline", transform_pipeline),
+                       ("c_full_stack", full_stack),
+                       ("d_full_flow", full_flow)):
+        t = chained(body)
+        print(json.dumps({"segment": name, "ms": round(t * 1e3, 3)}),
+              flush=True)
+
+
 def main():
+    if "--fwd-parts" in sys.argv:
+        fwd_parts()
+        return
     rows = []
     n_call = BATCH * (DIM // 2)  # the flow's actual per-call size
     for n in (n_call, 4 * n_call, 32 * n_call):
