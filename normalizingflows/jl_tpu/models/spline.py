@@ -36,6 +36,22 @@ from .nets import MLP, Dense, fnn
 
 __all__ = ["NeuralSplineCoupling", "NSF_layer", "SplinePairStack", "nsf"]
 
+# Kernel-feed layout switch for the SplinePairStack pallas path (see
+# `_transform_param_major`): permute the last conditioner Dense so its
+# output reaches the param-major kernel through a lane-aligned transpose.
+# Default ON — measured 63.8 → 115.5 steps/s (+81%) on the wide NSF
+# train config (d=64, [128,128]×10, batch 4096, bf16; v5e 2026-08-21):
+# the (batch·n_t, 3K−1)→(3K−1, N) transpose with its 29-element minor
+# dim was ~40% of the whole train step. Identical to the default path
+# up to log-det summation-order ulps (columns of a matmul commute);
+# pinned by tests/test_rqs_kernel.py::test_param_major_feed_matches_default.
+PARAM_MAJOR_FEED = True
+# ...but ONLY above this per-call element count: at the demo scale
+# (batch 64 × n_t 1) the extra small transposes dominate and the layout
+# is a measured −24% (9.8k → 7.5k steps/s); at 131k elements it is the
+# measured +81%. Static shapes → trace-time branch, no runtime cost.
+PARAM_MAJOR_MIN_ELEMS = 16384
+
 
 @module
 class NeuralSplineCoupling(Bijector):
@@ -176,6 +192,9 @@ class SplinePairStack(Bijector):
 
     def _transform(self, v, nn, cond, inverse):
         n_t = v.shape[-1]
+        if (self._use_pallas() and PARAM_MAJOR_FEED and v.ndim == 2
+                and v.shape[0] * n_t >= PARAM_MAJOR_MIN_ELEMS):
+            return self._transform_param_major(v, nn, cond, inverse)
         raw = nn(cond).reshape(cond.shape[:-1] + (n_t, 3 * self.K - 1))
         if self._use_pallas():
             # When the conditioners run the bf16 mixed-precision policy,
@@ -195,6 +214,36 @@ class SplinePairStack(Bijector):
             fn = rqs.rqs_inverse if inverse else rqs.rqs_forward
             y, ld = fn(v, xs, ys, ds)
         return y, jnp.sum(ld, axis=-1)
+
+    def _transform_param_major(self, v, nn, cond, inverse):
+        """Kernel-feed layout variant: permute the LAST conditioner
+        Dense's columns from (t, p) to (p, t) order at trace time (a tiny
+        parameter-side gather) so its output transposes into the kernel's
+        param-major (3K−1, N) layout through a lane-aligned
+        (batch, (3K−1)·n_t) transpose instead of the pathological
+        (batch·n_t, 3K−1) one. Same math — columns of a matmul commute —
+        pinned against the default path in tests."""
+        batch, n_t = v.shape
+        P = 3 * self.K - 1
+        h = cond
+        for layer in nn.layers[:-1]:
+            h = layer(h)
+        last = nn.layers[-1]
+        perm = np.arange(P * n_t).reshape(n_t, P).T.reshape(-1)
+        lastp = Dense(last.W[:, perm], last.b[perm], last.activation,
+                      last.compute_dtype)
+        z = lastp(h)  # (batch, P·n_t), minor axis p-major
+        cd = last.compute_dtype
+        if cd is not None:
+            z = z.astype(cd)
+        raw_t = z.T.reshape(P, n_t * batch)
+        x_flat = v.T.reshape(-1)  # element order t·batch + b — matches
+        y_flat, ld_flat = rqs_pallas.rqs_fused_t(
+            x_flat, raw_t, float(self.B), bool(inverse),
+            bool(self.interpret))
+        y = y_flat.reshape(n_t, batch).T
+        ld_sum = jnp.sum(ld_flat.reshape(n_t, batch), axis=0)
+        return y, ld_sum
 
     def forward_and_log_det(self, x):
         from ..ops.masks import interleave
