@@ -24,6 +24,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import rqs
 from ..ops import rqs_pallas
@@ -209,6 +210,8 @@ class SplinePairStack(Bijector):
                 raw = raw.astype(cd)
             y, ld = rqs_pallas.rqs_fused(v, raw, self.B, inverse=inverse,
                                          interpret=self.interpret)
+            y = checkpoint_name(y, "rqs_out")
+            ld = checkpoint_name(ld, "rqs_out")
         else:
             xs, ys, ds = rqs.rqs_params_from_raw(raw, self.B)
             fn = rqs.rqs_inverse if inverse else rqs.rqs_forward
@@ -241,9 +244,26 @@ class SplinePairStack(Bijector):
         y_flat, ld_flat = rqs_pallas.rqs_fused_t(
             x_flat, raw_t, float(self.B), bool(inverse),
             bool(self.interpret))
+        y_flat = checkpoint_name(y_flat, "rqs_out")
+        ld_flat = checkpoint_name(ld_flat, "rqs_out")
         y = y_flat.reshape(n_t, batch).T
         ld_sum = jnp.sum(ld_flat.reshape(n_t, batch), axis=0)
         return y, ld_sum
+
+    def _remat(self, body):
+        """Selective remat: save the RQS kernel outputs (tiny — one word
+        per element) and rematerialize everything else. The backward then
+        recomputes only the cheap conditioner matmuls; the expensive
+        kernel forward is NEVER re-run (plain `jax.checkpoint` re-runs
+        it: each block's second coupling consumes the first kernel's
+        output). Measured on the wide NSF config: plain remat and
+        no-remat tie at ~115 steps/s; this policy is the A/B'd winner
+        (benchmarks/KERNELS.md round-5 notes)."""
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "rqs_out"),
+        )
 
     def forward_and_log_det(self, x):
         from ..ops.masks import interleave
@@ -257,7 +277,7 @@ class SplinePairStack(Bijector):
             return (ya, yb, ld + lde + ldo), None
 
         if self.remat:
-            body = jax.checkpoint(body)
+            body = self._remat(body)
         (xa, xb, ld), _ = jax.lax.scan(
             body, (xa, xb, x[..., 0] * 0), self.stacked, length=self.n
         )
@@ -275,7 +295,7 @@ class SplinePairStack(Bijector):
             return (xa, xb, ld + lde + ldo), None
 
         if self.remat:
-            body = jax.checkpoint(body)
+            body = self._remat(body)
         (ya, yb, ld), _ = jax.lax.scan(
             body, (ya, yb, y[..., 0] * 0), self.stacked, length=self.n,
             reverse=True,
