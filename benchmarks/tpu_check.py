@@ -185,6 +185,85 @@ def nsf_pallas_flow_matches_oracle_backend():
 
 
 @check
+def nsf_param_major_and_selective_remat_on_chip():
+    """The round-5 NSF fast paths COMPILED on the chip: at a size above
+    PARAM_MAJOR_MIN_ELEMS the param-major kernel feed engages; with
+    remat=True the selective save_only_these_names policy drives the
+    backward. Asserts (a) fwd/logdet agreement with the XLA-oracle
+    backend, (b) gradient agreement between remat and no-remat, (c) a
+    short compiled train segment is finite and descending."""
+    import optax
+
+    from normalizingflows.jl_tpu.models import spline
+    from normalizingflows.jl_tpu.utils.pytree import (
+        apply_mask, global_norm, trainable_mask,
+    )
+
+    dim, batch = 8, 8192  # batch*n_t = 32768 >= PARAM_MAJOR_MIN_ELEMS
+    build = lambda backend, remat: jax.jit(  # noqa: E731
+        lambda k: nf.nsf(k, dim, (32, 32), K=10, B=8.0, nlayers=2,
+                         backend=backend, remat=remat,
+                         compute_dtype=jnp.bfloat16)
+    )(jax.random.key(10))
+    x = jax.random.normal(jax.random.key(11), (batch, dim))
+
+    with jax.default_device(_tpu()):
+        f_pal = build("pallas", False)
+        f_ora = build("oracle", False)
+        y1, ld1 = jax.jit(f_pal.bijector.forward_and_log_det)(x)
+        y2, ld2 = jax.jit(f_ora.bijector.forward_and_log_det)(x)
+        d_y = float(jnp.max(jnp.abs(y1 - y2)))
+        d_ld = float(jnp.max(jnp.abs(ld1 - ld2)))
+        # bf16 raw feed quantizes the spline params on the pallas path
+        # (the oracle consumes them in f32), so the bound is bf16-level
+        # relative to the box width, not the f32 2e-6 of the f32 lane
+        assert d_y <= 0.35, d_y
+        assert d_ld <= 2.0, d_ld
+
+        target = nf.Banana(dim, 1.0, 10.0)
+
+        def gnorm_of(flow):
+            mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+            g = jax.jit(jax.grad(
+                lambda f: -nf.elbo_batch(jax.random.key(12), f,
+                                         target.log_prob, batch)))(flow)
+            return float(global_norm(apply_mask(g, mask)))
+
+        g_plain = gnorm_of(f_pal)
+        g_remat = gnorm_of(build("pallas", True))
+        assert np.isfinite(g_plain) and g_plain > 0
+        # selective remat must be a scheduling change only
+        assert abs(g_remat - g_plain) <= 1e-2 * max(g_plain, 1.0), (
+            g_plain, g_remat)
+
+        flow = build("pallas", True)
+        optimizer = optax.adam(1e-3)
+        mask = trainable_mask(flow, frozen=lambda m: m is flow.base)
+
+        def step(carry, xs):
+            f, st = carry
+            loss, g = jax.value_and_grad(
+                lambda f: -nf.elbo_from_samples(xs, f, target.log_prob))(f)
+            g = apply_mask(g, mask)
+            u, st = optimizer.update(g, st, f)
+            return (optax.apply_updates(f, u), st), loss
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def train(key, n):
+            xs = flow.base.sample(key, (n, batch))
+            (_, _), losses = jax.lax.scan(
+                step, (flow, optimizer.init(flow)), xs)
+            return losses
+
+        losses = np.asarray(train(jax.random.key(13), 60))
+        assert np.all(np.isfinite(losses))
+        assert losses[-10:].mean() < losses[:10].mean()
+    assert spline.PARAM_MAJOR_FEED  # the default under test
+
+
+@check
 def glow_invertible_linear_roundtrip():
     """Compiled glow fwd/inv round-trip + CPU parity (ADVICE r4: the PLU
     permutation is applied as a matmul; without Precision.HIGHEST the MXU
