@@ -78,14 +78,9 @@ def _cumsum_rows(a, K):
     return jnp.concatenate(rows, axis=0)
 
 
-def _tile_transform(x, raw, B: float, K: int, inverse: bool):
-    """Pure-jnp tile computation: (1, L) x, (3K−1, L) raw → y, ld (1, L).
-
-    Written with Mosaic-friendly primitives only (sublane-axis slices,
-    one-hot gathers); shared by the forward and backward kernels and —
-    under standard jnp — identical in math to the `ops/rqs.py` oracle.
-    """
-    dtype = x.dtype
+def _tile_tables(raw, B: float, K: int, dtype):
+    """Knot tables from raw params — shared by the forward tile and the
+    analytic backward (which re-derives them instead of saving them)."""
     mbw = _oracle.DEFAULT_MIN_BIN_WIDTH
     mbh = _oracle.DEFAULT_MIN_BIN_HEIGHT
     mder = _oracle.DEFAULT_MIN_DERIVATIVE
@@ -98,14 +93,13 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
     h_raw = raw[K:2 * K]
     d_raw = raw[2 * K:]
 
-    widths = jax.nn.softmax(w_raw, axis=0)
-    widths = mbw + (1.0 - mbw * K) * widths
-    heights = jax.nn.softmax(h_raw, axis=0)
-    heights = mbh + (1.0 - mbh * K) * heights
+    p_w = jax.nn.softmax(w_raw, axis=0)
+    widths = mbw + (1.0 - mbw * K) * p_w
+    p_h = jax.nn.softmax(h_raw, axis=0)
+    heights = mbh + (1.0 - mbh * K) * p_h
 
     two_B = jnp.asarray(2.0 * B, dtype)
     negB = jnp.asarray(-B, dtype)
-    Bc = jnp.asarray(B, dtype)
 
     xs_hi = negB + two_B * _cumsum_rows(widths, K)
     ys_hi = negB + two_B * _cumsum_rows(heights, K)
@@ -125,7 +119,22 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
     one = jnp.ones_like(interior[:1])
     d_lo = jnp.concatenate([one, interior], axis=0)        # d at knot k
     d_hi = jnp.concatenate([interior, one], axis=0)        # d at knot k+1
+    return (xs_lo, xs_hi, ys_lo, ys_hi, d_lo, d_hi,
+            p_w, p_h, d_raw)
 
+
+def _tile_transform(x, raw, B: float, K: int, inverse: bool):
+    """Pure-jnp tile computation: (1, L) x, (3K−1, L) raw → y, ld (1, L).
+
+    Written with Mosaic-friendly primitives only (sublane-axis slices,
+    one-hot gathers); shared by the forward and backward kernels and —
+    under standard jnp — identical in math to the `ops/rqs.py` oracle.
+    """
+    dtype = x.dtype
+    (xs_lo, xs_hi, ys_lo, ys_hi, d_lo, d_hi,
+     _p_w, _p_h, _d_raw) = _tile_tables(raw, B, K, dtype)
+
+    Bc = jnp.asarray(B, dtype)
     inside = (x >= -Bc) & (x <= Bc)
     v = jnp.clip(x, -Bc, Bc)
 
@@ -183,6 +192,143 @@ def _tile_transform(x, raw, B: float, K: int, inverse: bool):
     return out, ld
 
 
+def _rev_cumsum_rows(a, K):
+    """Exact reverse running sum down the sublane axis (the VJP of
+    `_cumsum_rows`; same unrolled-exact rationale)."""
+    rows = [a[K - 1:K]]
+    for j in range(K - 2, -1, -1):
+        rows.append(rows[-1] + a[j:j + 1])
+    return jnp.concatenate(rows[::-1], axis=0)
+
+
+def _tile_bwd_analytic(x, raw, gy, gld, B: float, K: int):
+    """Hand-derived backward of the FORWARD tile (inverse=False — the
+    reverse-KL training path). Replaces the in-kernel `jax.vjp` of
+    `_tile_transform`, which re-runs the whole forward and then a
+    reverse tape; here the forward quantities are recomputed once and
+    every partial is closed-form (the spline derivative P/D² is exactly
+    exp(ld), already needed for the log-det). Math: reverse of Durkan
+    et al. eqs. 4–8 through the softmax/cumsum/softplus normalization.
+    Equality with autodiff is pinned by tests/test_rqs_kernel.py and the
+    compiled tpu_check lane."""
+    dtype = x.dtype
+    mbw = _oracle.DEFAULT_MIN_BIN_WIDTH
+    mbh = _oracle.DEFAULT_MIN_BIN_HEIGHT
+    (xs_lo, xs_hi, ys_lo, ys_hi, d_lo, d_hi,
+     p_w, p_h, d_raw) = _tile_tables(raw, B, K, dtype)
+
+    Bc = jnp.asarray(B, dtype)
+    inside = (x >= -Bc) & (x <= Bc)
+    v = jnp.clip(x, -Bc, Bc)
+
+    k = jnp.sum((v >= xs_lo).astype(jnp.int32), axis=0, keepdims=True) - 1
+    k = jnp.clip(k, 0, K - 1)
+    onehot = (
+        jax.lax.broadcasted_iota(
+            jnp.int32, (K,) + tuple(x.shape[1:]), 0) == k
+    ).astype(dtype)
+
+    def pick(t):
+        return jnp.sum(t * onehot, axis=0, keepdims=True)
+
+    x_k, x_k1 = pick(xs_lo), pick(xs_hi)
+    y_k, y_k1 = pick(ys_lo), pick(ys_hi)
+    d_k, d_k1 = pick(d_lo), pick(d_hi)
+
+    tiny = jnp.asarray(1e-6 * 2.0 * B, dtype)
+    w_span, h_span = x_k1 - x_k, y_k1 - y_k
+    w = jnp.maximum(w_span, tiny)
+    h = jnp.maximum(h_span, tiny)
+    w_gate = (w_span > tiny).astype(dtype)  # maximum() gradient gates
+    h_gate = (h_span > tiny).astype(dtype)
+    s = h / w
+    dsum = d_k1 + d_k - 2.0 * s
+
+    xi = (v - x_k) / w
+    xi1m = 1.0 - xi
+    q = xi * xi1m
+    D = s + dsum * q
+    Ny = s * xi * xi + d_k * q
+    R = d_k1 * xi * xi + 2.0 * s * q + d_k * xi1m * xi1m
+    P = (s * s) * R
+
+    # zero the cotangents of outside-box elements (fwd: y=x, ld=0 there)
+    zero = jnp.zeros_like(gy)
+    gy_in = jnp.where(inside, gy, zero)
+    gld_in = jnp.where(inside, gld, zero)
+
+    # elementwise closed-form reverse -----------------------------------
+    gD = gy_in * (-h * Ny / (D * D)) + gld_in * (-2.0 / D)
+    gP = gld_in / P
+    gNy = gy_in * h / D
+    g_h_direct = gy_in * Ny / D
+    g_yk_direct = gy_in
+
+    g_xi = (gD * dsum * (1.0 - 2.0 * xi)
+            + gNy * (2.0 * s * xi + d_k * (1.0 - 2.0 * xi))
+            + gP * (s * s) * (2.0 * d_k1 * xi + 2.0 * s * (1.0 - 2.0 * xi)
+                              - 2.0 * d_k * xi1m))
+    g_s = (gD * (1.0 - 2.0 * q)
+           + gNy * xi * xi
+           + gP * (2.0 * s * R + 2.0 * (s * s) * q))
+    g_dk = gD * q + gNy * q + gP * (s * s) * xi1m * xi1m
+    g_dk1 = gD * q + gP * (s * s) * xi * xi
+
+    # s = h/w, xi = (v − x_k)/w
+    g_h = g_h_direct + g_s / w
+    g_w = -g_s * h / (w * w) - g_xi * xi / w
+    g_v = g_xi / w
+
+    # spans → knot endpoints (through the max() clamps)
+    g_w = g_w * w_gate
+    g_h = g_h * h_gate
+    g_xk1 = g_w
+    g_xk = -g_w - g_xi / w
+    g_yk1 = g_h
+    g_yk = g_yk_direct - g_h
+
+    # scatter row grads onto the picked bins ----------------------------
+    g_xs_lo = onehot * g_xk
+    g_xs_hi = onehot * g_xk1
+    g_ys_lo = onehot * g_yk
+    g_ys_hi = onehot * g_yk1
+    g_d_lo = onehot * g_dk
+    g_d_hi = onehot * g_dk1
+
+    # knot tables → widths/heights (cumsum reverse) ---------------------
+    # xs_hi row j (j<K−1) and xs_lo row j+1 both read cumsum output j;
+    # xs_hi's pinned +B row and xs_lo's pinned −B row carry no gradient
+    two_B = jnp.asarray(2.0 * B, dtype)
+
+    def table_to_raw(g_lo, g_hi, p, min_bin):
+        g_c = two_B * (g_hi[:-1] + g_lo[1:])
+        g_c = jnp.concatenate([g_c, jnp.zeros_like(g_c[:1])], axis=0)
+        g_bins = _rev_cumsum_rows(g_c, K)
+        g_soft = (1.0 - min_bin * K) * g_bins
+        # softmax VJP: p ⊙ (g − Σ p·g)
+        dot = jnp.sum(p * g_soft, axis=0, keepdims=True)
+        return p * (g_soft - dot)
+
+    g_w_raw = table_to_raw(g_xs_lo, g_xs_hi, p_w, mbw)
+    g_h_raw = table_to_raw(g_ys_lo, g_ys_hi, p_h, mbh)
+
+    # derivative tables → interior derivs (softplus reverse) ------------
+    # d_lo = [1, interior]; d_hi = [interior, 1]
+    g_interior = g_d_lo[1:] + g_d_hi[:-1]
+    g_d_raw = jax.nn.sigmoid(d_raw) * g_interior
+
+    graw = jnp.concatenate([g_w_raw, g_h_raw, g_d_raw],
+                           axis=0).astype(raw.dtype)
+    gx = jnp.where(inside, g_v, gy)
+    return gx, graw
+
+
+# Switch for the analytic backward (forward/training direction only; the
+# inverse direction keeps the jax.vjp-in-kernel path). Flip to False to
+# fall back for debugging/toolchain comparisons.
+ANALYTIC_BWD = True
+
+
 def _fwd_kernel(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
     y, ld = _tile_transform(x_ref[:], raw_ref[:], B, K, inverse)
     y_ref[:] = y
@@ -200,6 +346,13 @@ def _fwd_kernel_rows(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
 
 def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
                 *, B, K, inverse):
+    if not inverse and ANALYTIC_BWD:
+        gx, graw = _tile_bwd_analytic(x_ref[:], raw_ref[:],
+                                      gy_ref[:], gld_ref[:], B, K)
+        gx_ref[:] = gx
+        graw_ref[:] = graw
+        return
+
     def fn(x, raw):
         return _tile_transform(x, raw, B, K, inverse)
 

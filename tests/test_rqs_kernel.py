@@ -117,8 +117,11 @@ def test_multi_dim_batch_shape():
 def test_elem_major_variant_matches_param_major():
     """`rqs_fused_e` (elem-major input, in-kernel transpose — kept as a
     measured-negative archive path, see ops/rqs_pallas.py::ELEM_MAJOR)
-    must stay BITWISE identical to the shipping param-major kernel,
-    including padded param columns and the custom VJP."""
+    must stay BITWISE identical to the shipping param-major kernel on
+    the FORWARD (same tile function), and gradient-equal to f32
+    reassociation tolerance on the backward (the param-major kernel
+    ships the hand-derived analytic backward; the archive variant keeps
+    the jax.vjp tape — same math, different op order)."""
     import jax
     import jax.numpy as jnp
 
@@ -150,8 +153,9 @@ def test_elem_major_variant_matches_param_major():
 
     g1 = jax.grad(le, argnums=(0, 1))(x, raw)
     g2 = jax.grad(lt, argnums=(0, 1))(x, raw.T)
-    assert jnp.all(g1[0] == g2[0])
-    assert jnp.all(g1[1] == g2[1].T)
+    import numpy as np
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(g1[1], g2[1].T, rtol=1e-5, atol=1e-4)
 
 
 def test_param_major_feed_matches_default(key):
@@ -183,7 +187,43 @@ def test_param_major_feed_matches_default(key):
             outs[pm] = (np.asarray(y), np.asarray(ld), np.asarray(xi),
                         np.asarray(ldi), float(global_norm(g)))
         for a, b in zip(outs[False], outs[True]):
-            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
     finally:
         spline.PARAM_MAJOR_FEED = old
         spline.PARAM_MAJOR_MIN_ELEMS = old_min
+
+
+def test_analytic_backward_matches_vjp_tape(key):
+    """The hand-derived analytic backward (ops/rqs_pallas.py::
+    _tile_bwd_analytic, shipped for the forward/training direction) is
+    the SAME derivative as the jax.vjp tape it replaced: f64 agreement
+    at machine epsilon across in-box and out-of-box elements. (EXACTLY
+    at x = ±B the two give different — equally valid — subgradients:
+    the tape routes through clip/maximum tie-breaking, the analytic
+    form takes the interior limit. Measure-zero; excluded here.)"""
+    import numpy as np
+
+    from normalizingflows.jl_tpu.ops import rqs_pallas as kern
+
+    K, B, n = 10, 30.0, 4096
+    kx, kr, kg, kl = jax.random.split(key, 4)
+    x = jax.random.uniform(kx, (n,), jnp.float64, -1.2 * B, 1.2 * B)
+    raw = jax.random.normal(kr, (3 * K - 1, n), jnp.float64)
+    gy = jax.random.normal(kg, (n,), jnp.float64)
+    gld = jax.random.normal(kl, (n,), jnp.float64)
+
+    def loss(x, raw):
+        y, ld = kern.rqs_fused_t(x, raw, B, False, True)
+        return jnp.sum(y * gy) + jnp.sum(ld * gld)
+
+    old = kern.ANALYTIC_BWD
+    try:
+        kern.ANALYTIC_BWD = True
+        ga = jax.grad(loss, argnums=(0, 1))(x, raw)
+        kern.ANALYTIC_BWD = False
+        gv = jax.grad(loss, argnums=(0, 1))(x, raw)
+    finally:
+        kern.ANALYTIC_BWD = old
+    for a, b in zip(ga, gv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
