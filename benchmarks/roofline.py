@@ -316,10 +316,12 @@ def nsf_two_term_bound(dim, hdims, K, nlayers, batch, compute_dtype,
     AT THE STEP'S ACTUAL PER-CALL SIZE — fwd + custom-VJP backward via
     value_and_grad over a chain of sequential dependent calls of
     batch×dim/2 elements each, exactly how the layer scan issues them:
-    0.945 Gelem/s at 131k elems/call (benchmarks/nsf_gap.py,
-    2026-08-21; the 4M-element standalone figures in KERNELS.md are a
-    different regime). The two resources CAN overlap in principle, so
-    the sum is conservative by at most the smaller term."""
+    1.247 Gelem/s at 131k elems/call with the analytic backward
+    (benchmarks/nsf_gap.py, 2026-08-21; 0.945 with the retired
+    jax.vjp-tape backward; the 4M-element standalone figures in
+    KERNELS.md are a different regime). The two resources CAN overlap
+    in principle, so the sum is conservative by at most the smaller
+    term."""
     half = dim // 2
     # conditioner: dim/2 -> hdims -> (3K-1)*dim/2, one per coupling,
     # 2 couplings per block; backward ≈ 3× forward matmul flops
@@ -334,8 +336,8 @@ def nsf_two_term_bound(dim, hdims, K, nlayers, batch, compute_dtype,
                     if compute_dtype == jnp.bfloat16
                     else 0.39 * PEAK_F32_FLOPS)
     if vpu_gelem_s is None:
-        vpu_gelem_s = 0.945  # measured fwd+VJP rate at the step's
-        # per-call size (benchmarks/nsf_gap.py)
+        vpu_gelem_s = 1.247  # measured fwd+analytic-VJP rate at the
+        # step's per-call size (benchmarks/nsf_gap.py)
     spline_elems = batch * dim * nlayers
     t_mxu = matmul_flops / mxu_rate
     t_vpu = spline_elems / (vpu_gelem_s * 1e9)
