@@ -323,9 +323,146 @@ def _tile_bwd_analytic(x, raw, gy, gld, B: float, K: int):
     return gx, graw
 
 
-# Switch for the analytic backward (forward/training direction only; the
-# inverse direction keeps the jax.vjp-in-kernel path). Flip to False to
-# fall back for debugging/toolchain comparisons.
+def _tile_bwd_analytic_inverse(x, raw, g_out, gld, B: float, K: int):
+    """Analytic backward of the INVERSE tile via implicit differentiation.
+
+    The inverse finds ξ* solving the forward identity Y(ξ; θ) = v (the
+    quadratic root), then emits out = x_k + ξ*·w and the negated
+    log-det. All v/θ dependence of the outputs routes through ξ* (the
+    log-det is a function of ξ* and the bin quantities only), so the
+    IFT gives ∂ξ*/∂θ = −(∂Y/∂θ)/(∂Y/∂ξ) with ∂Y/∂ξ = w·P/D² — the
+    forward partials derived for `_tile_bwd_analytic`, re-accumulated.
+    This differentiates the EXACT root rather than the clipped
+    closed-form root formula the tape differentiates; the two agree
+    except at measure-zero clip/tie boundaries."""
+    dtype = x.dtype
+    mbw = _oracle.DEFAULT_MIN_BIN_WIDTH
+    mbh = _oracle.DEFAULT_MIN_BIN_HEIGHT
+    (xs_lo, xs_hi, ys_lo, ys_hi, d_lo, d_hi,
+     p_w, p_h, d_raw) = _tile_tables(raw, B, K, dtype)
+
+    Bc = jnp.asarray(B, dtype)
+    inside = (x >= -Bc) & (x <= Bc)
+    v = jnp.clip(x, -Bc, Bc)
+
+    k = jnp.sum((v >= ys_lo).astype(jnp.int32), axis=0, keepdims=True) - 1
+    k = jnp.clip(k, 0, K - 1)
+    onehot = (
+        jax.lax.broadcasted_iota(
+            jnp.int32, (K,) + tuple(x.shape[1:]), 0) == k
+    ).astype(dtype)
+
+    def pick(t):
+        return jnp.sum(t * onehot, axis=0, keepdims=True)
+
+    x_k, x_k1 = pick(xs_lo), pick(xs_hi)
+    y_k, y_k1 = pick(ys_lo), pick(ys_hi)
+    d_k, d_k1 = pick(d_lo), pick(d_hi)
+
+    tiny = jnp.asarray(1e-6 * 2.0 * B, dtype)
+    w_span, h_span = x_k1 - x_k, y_k1 - y_k
+    w = jnp.maximum(w_span, tiny)
+    h = jnp.maximum(h_span, tiny)
+    w_gate = (w_span > tiny).astype(dtype)
+    h_gate = (h_span > tiny).astype(dtype)
+    s = h / w
+    dsum = d_k1 + d_k - 2.0 * s
+
+    # recompute ξ* exactly as the forward inverse tile does
+    dy = v - y_k
+    a = h * (s - d_k) + dy * dsum
+    b = h * d_k - dy * dsum
+    c = -s * dy
+    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    xi = jnp.clip(2.0 * c / (-b - jnp.sqrt(disc)), 0.0, 1.0)
+
+    xi1m = 1.0 - xi
+    q = xi * xi1m
+    D = s + dsum * q
+    Ny = s * xi * xi + d_k * q
+    R = d_k1 * xi * xi + 2.0 * s * q + d_k * xi1m * xi1m
+    P = (s * s) * R
+
+    zero = jnp.zeros_like(g_out)
+    g_out_in = jnp.where(inside, g_out, zero)
+    gld_in = jnp.where(inside, gld, zero)
+
+    # ld_out = −(log P − 2 log D): explicit partials at FIXED ξ
+    gP_e = -gld_in / P
+    gD_e = 2.0 * gld_in / D
+    g_s_e = gD_e * (1.0 - 2.0 * q) + gP_e * (2.0 * s * R
+                                             + 2.0 * (s * s) * q)
+    g_dk_e = gD_e * q + gP_e * (s * s) * xi1m * xi1m
+    g_dk1_e = gD_e * q + gP_e * (s * s) * xi * xi
+
+    # total cotangent reaching ξ: out = x_k + ξw, plus ld's ξ-derivative
+    Dp = dsum * (1.0 - 2.0 * xi)                           # D'(ξ)
+    Pp = (s * s) * (2.0 * d_k1 * xi + 2.0 * s * (1.0 - 2.0 * xi)
+                    - 2.0 * d_k * xi1m)                    # P'(ξ)
+    g_xi_tot = g_out_in * w - gld_in * (Pp / P - 2.0 * Dp / D)
+
+    # implicit function: Y(ξ) = y_k + h·Ny/D = v; ∂Y/∂ξ = w·P/D²
+    dYdxi = w * P / (D * D)
+    coef = -g_xi_tot / dYdxi                              # ∂ξ/∂θ factor
+
+    # ∂Y/∂θ at fixed ξ (forward-map partials)
+    Y_s = h * (xi * xi * D - Ny * (1.0 - 2.0 * q)) / (D * D)
+    Y_dk = h * q * (D - Ny) / (D * D)
+    Y_dk1 = -h * Ny * q / (D * D)
+    Y_h_dir = Ny / D
+    # ∂Y/∂y_k = 1
+
+    g_s_tot = g_s_e + coef * Y_s
+    g_dk = g_dk_e + coef * Y_dk
+    g_dk1 = g_dk1_e + coef * Y_dk1
+    g_h_dir = coef * Y_h_dir
+    g_yk_impl = coef                                      # via ∂Y/∂y_k
+
+    # v reaches ξ through Y(ξ*) = v: ∂ξ/∂v = 1/(∂Y/∂ξ)
+    g_v = g_xi_tot / dYdxi
+
+    # assemble knot-endpoint grads
+    g_w = g_out_in * xi - g_s_tot * h / (w * w)
+    g_h = g_h_dir + g_s_tot / w
+    g_w = g_w * w_gate
+    g_h = g_h * h_gate
+    g_xk1 = g_w
+    g_xk = g_out_in - g_w
+    g_yk1 = g_h
+    g_yk = g_yk_impl - g_h
+
+    g_xs_lo = onehot * g_xk
+    g_xs_hi = onehot * g_xk1
+    g_ys_lo = onehot * g_yk
+    g_ys_hi = onehot * g_yk1
+    g_d_lo = onehot * g_dk
+    g_d_hi = onehot * g_dk1
+
+    two_B = jnp.asarray(2.0 * B, dtype)
+
+    def table_to_raw(g_lo, g_hi, p, min_bin):
+        g_c = two_B * (g_hi[:-1] + g_lo[1:])
+        g_c = jnp.concatenate([g_c, jnp.zeros_like(g_c[:1])], axis=0)
+        g_bins = _rev_cumsum_rows(g_c, K)
+        g_soft = (1.0 - min_bin * K) * g_bins
+        dot = jnp.sum(p * g_soft, axis=0, keepdims=True)
+        return p * (g_soft - dot)
+
+    g_w_raw = table_to_raw(g_xs_lo, g_xs_hi, p_w, mbw)
+    g_h_raw = table_to_raw(g_ys_lo, g_ys_hi, p_h, mbh)
+    g_interior = g_d_lo[1:] + g_d_hi[:-1]
+    g_d_raw = jax.nn.sigmoid(d_raw) * g_interior
+
+    graw = jnp.concatenate([g_w_raw, g_h_raw, g_d_raw],
+                           axis=0).astype(raw.dtype)
+    gx = jnp.where(inside, g_v, g_out)
+    return gx, graw
+
+
+# Switch for the analytic backward (both directions: forward/training
+# uses the direct closed-form reverse, inverse/density uses the
+# implicit-differentiation reverse). Flip to False to fall back to the
+# jax.vjp-in-kernel tape for debugging/toolchain comparisons.
 ANALYTIC_BWD = True
 
 
@@ -346,9 +483,10 @@ def _fwd_kernel_rows(x_ref, raw_ref, y_ref, ld_ref, *, B, K, inverse):
 
 def _bwd_kernel(x_ref, raw_ref, gy_ref, gld_ref, gx_ref, graw_ref,
                 *, B, K, inverse):
-    if not inverse and ANALYTIC_BWD:
-        gx, graw = _tile_bwd_analytic(x_ref[:], raw_ref[:],
-                                      gy_ref[:], gld_ref[:], B, K)
+    if ANALYTIC_BWD:
+        fn = (_tile_bwd_analytic_inverse if inverse
+              else _tile_bwd_analytic)
+        gx, graw = fn(x_ref[:], raw_ref[:], gy_ref[:], gld_ref[:], B, K)
         gx_ref[:] = gx
         graw_ref[:] = graw
         return

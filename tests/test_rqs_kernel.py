@@ -193,14 +193,21 @@ def test_param_major_feed_matches_default(key):
         spline.PARAM_MAJOR_MIN_ELEMS = old_min
 
 
-def test_analytic_backward_matches_vjp_tape(key):
-    """The hand-derived analytic backward (ops/rqs_pallas.py::
-    _tile_bwd_analytic, shipped for the forward/training direction) is
-    the SAME derivative as the jax.vjp tape it replaced: f64 agreement
-    at machine epsilon across in-box and out-of-box elements. (EXACTLY
-    at x = ±B the two give different — equally valid — subgradients:
-    the tape routes through clip/maximum tie-breaking, the analytic
-    form takes the interior limit. Measure-zero; excluded here.)"""
+@pytest.mark.parametrize("inverse", [False, True])
+def test_analytic_backward_matches_vjp_tape(key, inverse):
+    """The hand-derived analytic backwards (ops/rqs_pallas.py::
+    _tile_bwd_analytic for the forward/training direction, and the
+    implicit-differentiation _tile_bwd_analytic_inverse for the
+    inverse/density direction) are the SAME derivative as the jax.vjp
+    tape they replaced: f64 agreement at machine-epsilon scale across
+    in-box and out-of-box elements. (EXACTLY at x = ±B the two give
+    different — equally valid — subgradients: the tape routes through
+    clip/maximum tie-breaking, the analytic form takes the interior
+    limit. Measure-zero; excluded here. The inverse comparison carries
+    a slightly looser atol: the IFT differentiates the exact root while
+    the tape differentiates the closed-form root FORMULA — identical in
+    real arithmetic, a few ulps apart after the quadratic's f64
+    rounding on near-flat bins.)"""
     import numpy as np
 
     from normalizingflows.jl_tpu.ops import rqs_pallas as kern
@@ -213,7 +220,7 @@ def test_analytic_backward_matches_vjp_tape(key):
     gld = jax.random.normal(kl, (n,), jnp.float64)
 
     def loss(x, raw):
-        y, ld = kern.rqs_fused_t(x, raw, B, False, True)
+        y, ld = kern.rqs_fused_t(x, raw, B, inverse, True)
         return jnp.sum(y * gy) + jnp.sum(ld * gld)
 
     old = kern.ANALYTIC_BWD
@@ -224,6 +231,7 @@ def test_analytic_backward_matches_vjp_tape(key):
         gv = jax.grad(loss, argnums=(0, 1))(x, raw)
     finally:
         kern.ANALYTIC_BWD = old
+    tol = 1e-10 if inverse else 1e-12
     for a, b in zip(ga, gv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-12, atol=1e-12)
+                                   rtol=tol, atol=tol)
